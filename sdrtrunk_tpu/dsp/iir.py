@@ -1,0 +1,72 @@
+"""First-order IIR filters as parallel scans (JAX, device-side).
+
+The reference's per-sample IIRs (dsp/filter/iir/SinglePoleIirFilter.java,
+dsp/filter/dc/DCRemovalFilter.java:25, dsp/filter/iir/DeemphasisFilter.java:20)
+become O(log N) associative scans over the linear recurrence
+y[t] = a*y[t-1] + b[t], so long blocks parallelize on the VPU instead of
+looping per sample.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["single_pole", "single_pole_apply", "dc_removal", "deemphasis_alpha",
+           "deemphasis"]
+
+
+def _linrec(a: jnp.ndarray, b: jnp.ndarray, y0) -> jnp.ndarray:
+    """Solve y[t] = a[t]*y[t-1] + b[t] with y[-1]=y0 via associative_scan."""
+
+    def combine(lhs, rhs):
+        a1, b1 = lhs
+        a2, b2 = rhs
+        return a1 * a2, a2 * b1 + b2
+
+    aa, bb = jax.lax.associative_scan(combine, (a, b))
+    return aa * y0 + bb
+
+
+def single_pole(x: jnp.ndarray, alpha: float, y0=0.0) -> jnp.ndarray:
+    """y[t] = y[t-1] + alpha*(x[t]-y[t-1])  (SinglePoleIirFilter semantics)."""
+    a = jnp.full(x.shape, 1.0 - alpha, dtype=x.dtype)
+    b = alpha * x
+    return _linrec(a, b, jnp.asarray(y0, x.dtype))
+
+
+def single_pole_apply(x: jnp.ndarray, alpha: float, state: jnp.ndarray
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming single-pole IIR; `state` is the previous output sample."""
+    y = single_pole(x, alpha, state)
+    return y, y[-1]
+
+
+def dc_removal(x: jnp.ndarray, ratio: float = 0.95,
+               state: tuple | None = None) -> tuple[jnp.ndarray, tuple]:
+    """DC-blocking filter y[t] = x[t] - x[t-1] + ratio*y[t-1].
+
+    Same topology as the reference DCRemovalFilter (dsp/filter/dc/), default
+    pole matching its usage for FM audio cleanup.
+    """
+    if state is None:
+        state = (jnp.asarray(0.0, x.dtype), jnp.asarray(0.0, x.dtype))
+    x_prev, y_prev = state
+    diffs = x - jnp.concatenate([x_prev[None], x[:-1]])
+    a = jnp.full(x.shape, ratio, dtype=x.dtype)
+    y = _linrec(a, diffs, y_prev)
+    return y, (x[-1], y[-1])
+
+
+def deemphasis_alpha(sample_rate: float, tau: float = 750e-6) -> float:
+    """One-pole de-emphasis coefficient for time constant tau (750 us default,
+    the land-mobile standard the reference's DeemphasisFilter targets)."""
+    import math
+    return 1.0 - math.exp(-1.0 / (sample_rate * tau))
+
+
+def deemphasis(x: jnp.ndarray, sample_rate: float, tau: float = 750e-6,
+               state=0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FM de-emphasis: single-pole low-pass with gain restoring ~unity at 1 kHz."""
+    alpha = deemphasis_alpha(sample_rate, tau)
+    y = single_pole(x, alpha, state)
+    return y, y[-1]

