@@ -152,18 +152,28 @@ def resample_taps(up: int, down: int, taps_per_phase: int = 12,
     return np.concatenate([taps, np.zeros(pad)])
 
 
+def resample_init(taps_len: int, up: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Zero history for streaming polyphase_resample (taps_len // up samples)."""
+    return jnp.zeros((taps_len // up,), dtype=dtype)
+
+
 @partial(jax.jit, static_argnames=("up", "down"))
-def polyphase_resample(x: jnp.ndarray, taps: jnp.ndarray, up: int, down: int
-                       ) -> jnp.ndarray:
+def polyphase_resample(x: jnp.ndarray, taps: jnp.ndarray, up: int, down: int,
+                       state: jnp.ndarray | None = None) -> jnp.ndarray:
     """Rational-rate resampling by up/down using a polyphase filter bank.
 
     Equivalent to upfirdn(h, x, up, down): conceptually insert up-1 zeros,
     filter, keep every down-th output — computed without materializing the
     upsampled signal: out[m] uses phase (m*down) % up of the filter applied
     to x at offset (m*down) // up.
+
+    Streaming: pass `state` (last taps//up input samples, from
+    resample_init / the tail of the previous block) and keep len(x) a
+    multiple of `down` so the polyphase phase pattern is block-periodic;
+    then chunked output concatenates to the one-shot result. New state is
+    x[-taps//up:] (caller-maintained; see callers).
     """
     taps = jnp.asarray(taps, x.dtype if not jnp.iscomplexobj(x) else jnp.float32)
-    nphases = up
     tpp = taps.shape[0] // up            # taps per phase
     # poly[p, j] = taps[j*up + p]  (phase-major polyphase decomposition)
     poly = taps.reshape(tpp, up).T       # (up, tpp)
@@ -175,8 +185,9 @@ def polyphase_resample(x: jnp.ndarray, taps: jnp.ndarray, up: int, down: int
 
     # window of tpp input samples ending at `offset` (newest-first order)
     # y[m] = sum_j poly[phase, j] * x[offset - j]
-    pad = jnp.zeros((tpp,), dtype=x.dtype)
-    xp = jnp.concatenate([pad, x])
+    if state is None:
+        state = jnp.zeros((tpp,), dtype=x.dtype)
+    xp = jnp.concatenate([state.astype(x.dtype), x])
     idx = offset[:, None] + tpp - jnp.arange(tpp)[None, :]  # offset - j + tpp
     windows = xp[idx]                                        # (n_out, tpp)
     coeffs = poly[phase].astype(jnp.float32)                 # (n_out, tpp)

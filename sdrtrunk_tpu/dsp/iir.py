@@ -64,9 +64,30 @@ def deemphasis_alpha(sample_rate: float, tau: float = 750e-6) -> float:
     return 1.0 - math.exp(-1.0 / (sample_rate * tau))
 
 
+def deemphasis_makeup_gain(sample_rate: float, tau: float = 750e-6,
+                           reference_hz: float = 1000.0) -> float:
+    """Gain restoring unity response at `reference_hz` after de-emphasis."""
+    import math
+    alpha = deemphasis_alpha(sample_rate, tau)
+    w = 2.0 * math.pi * reference_hz / sample_rate
+    # |H| of y[t] = (1-alpha) y[t-1] + alpha x[t]
+    re = 1.0 - (1.0 - alpha) * math.cos(w)
+    im = (1.0 - alpha) * math.sin(w)
+    return math.hypot(re, im) / alpha
+
+
 def deemphasis(x: jnp.ndarray, sample_rate: float, tau: float = 750e-6,
-               state=0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """FM de-emphasis: single-pole low-pass with gain restoring ~unity at 1 kHz."""
+               state=0.0, gain: float | None = None
+               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FM de-emphasis: single-pole low-pass + makeup gain + clip.
+
+    Mirrors the reference's DeemphasisFilter (single-pole + external gain +
+    declip at +/-0.95, dsp/filter/iir/DeemphasisFilter.java). Default gain
+    restores unity response at 1 kHz. Returns (audio, new filter state);
+    the carried state is the pre-gain filter output.
+    """
     alpha = deemphasis_alpha(sample_rate, tau)
     y = single_pole(x, alpha, state)
-    return y, y[-1]
+    if gain is None:
+        gain = deemphasis_makeup_gain(sample_rate, tau)
+    return jnp.clip(y * gain, -0.95, 0.95), y[-1]
