@@ -1,0 +1,191 @@
+"""DQPSK symbol recovery as a carried-state scan (the hard kernel).
+
+TPU-native reformulation of the reference's per-sample feedback chain
+(dsp/psk/PSKDemodulator.java:101 receive -> CostasLoop de-rotation ->
+InterpolatingSampleBuffer -> DQPSKDecisionDirectedSymbolEvaluator decision ->
+timing/PLL feedback). The loop is inherently sequential per channel, so it
+becomes ONE lax.scan step per input sample with a small carried state, and
+throughput comes from vmapping the scan across >=hundreds of channels: the
+scan step is ~100 fused VPU ops wide per lane.
+
+Semantics mirror the reference exactly (same update order, gains, clamps):
+  * 2nd-order Costas loop: alpha/beta from loop BW 2*pi/300, damping
+    sqrt(2)/2, freq clamp +/- 2*pi*(baud/2)/fs
+    (dsp/psk/pll/CostasLoop.java:44-70,178-218)
+  * interpolating buffer: sampling point decremented per sample, symbol when
+    < 1.0; detected samples/symbol tracked +/-2% with gain 0.1*g^2; timing
+    feedback adds detectedSPS + err*g (InterpolatingSampleBuffer.java:58-124)
+  * decision-directed evaluator: quadrant decision, de-rotated quadrature as
+    phase/timing error, error clip 0.3, PLL adjust clip 0.5
+    (DQPSKDecisionDirectedSymbolEvaluator.java:61-105)
+
+Dibit mapping (dsp/symbol/Dibit.java): 0=+1(+45deg) 1=+3(+135deg)
+2=-1(-45deg) 3=-3(-135deg).
+
+Each scan step emits (dibit, valid) — at most one symbol per sample. The
+host (or downstream device code) compacts valid dibits.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .interpolator import CENTER, NSTEPS, interpolator_bank
+
+__all__ = ["DQPSKDemodulator", "DQPSKState", "costas_gains"]
+
+TWO_PI = 2.0 * math.pi
+
+
+def costas_gains(loop_bandwidth: float = 300.0,
+                 damping: float = math.sqrt(2.0) / 2.0) -> tuple[float, float]:
+    """(alpha, beta) loop gains (CostasLoop.java:109-115)."""
+    bw = TWO_PI / loop_bandwidth
+    denom = 1.0 + 2.0 * damping * bw + bw * bw
+    alpha = 4.0 * damping * bw / denom
+    beta = 4.0 * bw * bw / denom
+    return alpha, beta
+
+
+class DQPSKState(NamedTuple):
+    window: jnp.ndarray        # (W,) complex64 delay line, newest at [-1]
+    sampling_point: jnp.ndarray  # f32
+    detected_sps: jnp.ndarray    # f32
+    pll_phase: jnp.ndarray       # f32
+    pll_freq: jnp.ndarray        # f32
+    prev_preceding: jnp.ndarray  # complex64
+    prev_current: jnp.ndarray    # complex64
+
+
+@dataclass
+class DQPSKDemodulator:
+    """Decision-directed DQPSK demod for constant-envelope 4-FSK (C4FM/DMR).
+
+    sample_counter_gain: 0.3 for P25P1 (P25P1DecoderC4FM.java:48),
+    0.4 for DMR (DMRDecoder.java:58).
+    """
+    sample_rate: float
+    symbol_rate: float = 4800.0
+    sample_counter_gain: float = 0.3
+    loop_bandwidth: float = 300.0
+    max_deviation: float = 0.02   # +/-2% samples-per-symbol tracking
+
+    def __post_init__(self):
+        self.samples_per_symbol = self.sample_rate / self.symbol_rate
+        if self.samples_per_symbol < 4.0:
+            raise ValueError("need >= 4 samples/symbol for the 8-tap interpolator")
+        self.window_len = int(math.floor(2.0 * self.samples_per_symbol))
+        self.alpha, self.beta = costas_gains(self.loop_bandwidth)
+        self.max_pll_freq = TWO_PI * (self.symbol_rate / 2.0) / self.sample_rate
+        self.dsps_gain = 0.1 * self.sample_counter_gain ** 2
+        self.bank = jnp.asarray(interpolator_bank())
+
+    def init_state(self) -> DQPSKState:
+        sps = self.samples_per_symbol
+        return DQPSKState(
+            window=jnp.zeros((self.window_len,), jnp.complex64),
+            sampling_point=jnp.asarray(sps, jnp.float32),
+            detected_sps=jnp.asarray(sps, jnp.float32),
+            pll_phase=jnp.zeros((), jnp.float32),
+            pll_freq=jnp.zeros((), jnp.float32),
+            prev_preceding=jnp.zeros((), jnp.complex64),
+            prev_current=jnp.zeros((), jnp.complex64),
+        )
+
+    def _step(self, state: DQPSKState, x_t: jnp.ndarray):
+        sps_min = self.samples_per_symbol * (1.0 - self.max_deviation)
+        sps_max = self.samples_per_symbol * (1.0 + self.max_deviation)
+        g = self.sample_counter_gain
+
+        # --- PLL increment + mix (PSKDemodulator.java:101-110) ---
+        phase = state.pll_phase + state.pll_freq
+        phase = jnp.where(phase > TWO_PI, phase - TWO_PI, phase)
+        phase = jnp.where(phase < -TWO_PI, phase + TWO_PI, phase)
+        mixed = x_t * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+        window = jnp.concatenate([state.window[1:], mixed[None]])
+        sampling_point = state.sampling_point - 1.0
+        has_symbol = sampling_point < 1.0
+
+        # --- interpolate current sample at mu = sampling_point ---
+        mu = jnp.clip(sampling_point, 0.0, 1.0)
+        idx = jnp.clip((NSTEPS * mu).astype(jnp.int32), 0, NSTEPS)
+        taps = self.bank[idx]                       # (8,)
+        w8 = jax.lax.dynamic_slice_in_dim(window, 0, 8)
+        current = jnp.sum(taps * w8.real) + 1j * jnp.sum(taps * w8.imag)
+        current = current.astype(jnp.complex64)
+        preceding = window[CENTER]
+
+        # --- differential decode + normalize ---
+        def _normalize(z):
+            mag = jnp.abs(z)
+            return jnp.where(mag > 1e-12, z / mag, jnp.zeros_like(z))
+
+        preceding_symbol = _normalize(preceding * jnp.conj(state.prev_preceding))
+        current_symbol = _normalize(current * jnp.conj(state.prev_current))
+
+        # --- quadrant decision (DQPSKDecisionDirectedSymbolEvaluator) ---
+        ci, cq = current_symbol.real, current_symbol.imag
+        pq = preceding_symbol.imag
+        q_pos = cq > 0.0
+        i_pos = ci > 0.0
+        dibit = jnp.where(q_pos,
+                          jnp.where(i_pos, 0, 1),
+                          jnp.where(i_pos, 2, 3)).astype(jnp.int32)
+        # timing polarity (DQPSKDecisionDirectedSymbolEvaluator.java:61-105):
+        # +45/-45 (I>0) -> sign(pq > cq); +135/-135 (I<0) -> sign(pq < cq)
+        polarity = jnp.where(i_pos, jnp.where(pq > cq, 1.0, -1.0),
+                             jnp.where(pq < cq, 1.0, -1.0))
+        # rotate current symbol back to 0 rad: multiply by conj(reference)
+        ref_angle = jnp.pi / 4.0 + jnp.pi / 2.0 * jnp.where(
+            dibit == 0, 0, jnp.where(dibit == 1, 1, jnp.where(dibit == 3, 2, 3)))
+        rot = current_symbol * jax.lax.complex(
+            jnp.cos(ref_angle), -jnp.sin(ref_angle))
+        err = jnp.clip(rot.imag, -0.3, 0.3)
+        err = jnp.where(jnp.isnan(err), 0.0, err)
+        phase_error = -err
+        timing_error = err * polarity
+
+        # --- timing update (InterpolatingSampleBuffer.resetAndAdjust) ---
+        detected = jnp.clip(state.detected_sps + timing_error * self.dsps_gain,
+                            sps_min, sps_max)
+        sp_new = sampling_point + detected + timing_error * g
+
+        # --- PLL adjust (CostasLoop.adjust, error clipped 0.5) ---
+        perr = jnp.clip(phase_error, -0.5, 0.5)
+        freq = state.pll_freq + self.beta * perr
+        phase2 = phase + freq + self.alpha * perr
+        phase2 = jnp.where(phase2 > TWO_PI, phase2 - TWO_PI, phase2)
+        phase2 = jnp.where(phase2 < -TWO_PI, phase2 + TWO_PI, phase2)
+        freq = jnp.clip(freq, -self.max_pll_freq, self.max_pll_freq)
+
+        new_state = DQPSKState(
+            window=window,
+            sampling_point=jnp.where(has_symbol, sp_new, sampling_point),
+            detected_sps=jnp.where(has_symbol, detected, state.detected_sps),
+            pll_phase=jnp.where(has_symbol, phase2, phase),
+            pll_freq=jnp.where(has_symbol, freq, state.pll_freq),
+            prev_preceding=jnp.where(has_symbol, preceding,
+                                     state.prev_preceding),
+            prev_current=jnp.where(has_symbol, current, state.prev_current),
+        )
+        return new_state, (dibit, has_symbol)
+
+    def __call__(self, x: jnp.ndarray, state: DQPSKState | None = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray, DQPSKState]:
+        """Demodulate a block. Returns (dibits, valid_mask, state).
+
+        dibits/valid are per input sample; dibits[i] is meaningful where
+        valid[i]. Compact with dibits[valid] on host, or feed the (values,
+        mask) pair to downstream device framing.
+        """
+        if state is None:
+            state = self.init_state()
+        state, (dibits, valid) = jax.lax.scan(self._step, state, x)
+        return dibits, valid, state

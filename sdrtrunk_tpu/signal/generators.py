@@ -101,6 +101,38 @@ def root_raised_cosine(sps: float, span_symbols: int, alpha: float = 0.2) -> np.
     return h / np.max(h)
 
 
+def _shape_pulse_train(levels: np.ndarray, sps: float, n: int,
+                       span_symbols: int, alpha: float,
+                       pulse_fn=None) -> np.ndarray:
+    """Sum of raised-cosine pulses at EXACT fractional symbol positions.
+
+    message[i] = sum_k levels[k] * rc((i - k*sps)/sps). Evaluating the pulse
+    at the true fractional offsets (instead of rounding each symbol to the
+    nearest sample) keeps the modulator free of timing jitter so closed-loop
+    symbol-recovery tests can demand BER = 0.
+    """
+    levels = np.asarray(levels, np.complex128 if np.iscomplexobj(levels)
+                        else np.float64)
+    half = span_symbols / 2.0
+    i = np.arange(n, dtype=np.float64)
+    out = np.zeros(n, dtype=levels.dtype)
+    if pulse_fn is None:
+        def pulse_fn(t):
+            eps = 1e-9
+            denom = 1.0 - (2.0 * alpha * t) ** 2
+            h = np.sinc(t) * np.cos(np.pi * alpha * t) / np.where(
+                np.abs(denom) < eps, eps, denom)
+            h = np.where(np.abs(denom) < eps,
+                         (np.pi / 4.0) * np.sinc(1.0 / (2.0 * alpha)), h)
+            return np.where(np.abs(t) <= half, h, 0.0)
+    # chunk over symbols to bound the (n, chunk) matrix
+    for k0 in range(0, len(levels), 256):
+        k = np.arange(k0, min(k0 + 256, len(levels)), dtype=np.float64)
+        t = (i[:, None] - k[None, :] * sps) / sps  # (n, chunk) symbol units
+        out += pulse_fn(t) @ levels[k0:k0 + 256]
+    return out
+
+
 def random_dibits(count: int, seed: int = 0) -> np.ndarray:
     return np.random.default_rng(seed).integers(0, 4, size=count).astype(np.int32)
 
@@ -123,13 +155,8 @@ def c4fm_modulate(dibits: np.ndarray, sample_rate: float,
     """
     sps = sample_rate / symbol_rate
     levels = dibits_to_symbols(dibits)
-    # Impulse train at fractional symbol positions (nearest-sample placement).
     n = int(np.ceil(len(levels) * sps)) + int(np.ceil(span_symbols * sps))
-    impulses = np.zeros(n)
-    positions = np.round(np.arange(len(levels)) * sps).astype(np.int64)
-    impulses[positions] = levels
-    pulse = raised_cosine(sps, span_symbols, alpha)
-    message = np.convolve(impulses, pulse)[: n]
+    message = _shape_pulse_train(levels, sps, n, span_symbols, alpha)
     freq_hz = message * C4FM_DEVIATION_HZ
     phase = TWO_PI / sample_rate * np.cumsum(freq_hz)
     return (amplitude * np.exp(1j * phase)).astype(np.complex64)
@@ -149,10 +176,22 @@ def lsm_modulate(dibits: np.ndarray, sample_rate: float,
     symbols = np.exp(1j * phases)
     sps = sample_rate / symbol_rate
     n = int(np.ceil(len(symbols) * sps)) + int(np.ceil(span_symbols * sps))
-    impulses = np.zeros(n, dtype=np.complex128)
-    positions = np.round(np.arange(len(symbols)) * sps).astype(np.int64)
-    impulses[positions] = symbols
-    pulse = root_raised_cosine(sps, span_symbols, alpha)
-    x = np.convolve(impulses, pulse)[: n]
+
+    def rrc(t):
+        h = np.zeros_like(t)
+        near0 = np.abs(t) < 1e-9
+        sing = np.abs(np.abs(4.0 * alpha * t) - 1.0) < 1e-9
+        rest = ~(near0 | sing)
+        tr = t[rest]
+        h[near0] = 1.0 - alpha + 4.0 * alpha / np.pi
+        h[sing] = (alpha / np.sqrt(2.0)) * (
+            (1.0 + 2.0 / np.pi) * np.sin(np.pi / (4.0 * alpha))
+            + (1.0 - 2.0 / np.pi) * np.cos(np.pi / (4.0 * alpha)))
+        h[rest] = (np.sin(np.pi * tr * (1.0 - alpha))
+                   + 4.0 * alpha * tr * np.cos(np.pi * tr * (1.0 + alpha))) / (
+            np.pi * tr * (1.0 - (4.0 * alpha * tr) ** 2))
+        return np.where(np.abs(t) <= span_symbols / 2.0, h, 0.0)
+
+    x = _shape_pulse_train(symbols, sps, n, span_symbols, alpha, pulse_fn=rrc)
     peak = np.max(np.abs(x))
     return (amplitude * x / peak).astype(np.complex64)

@@ -94,11 +94,11 @@ def test_c4fm_modulator_phase_steps():
     iq = generators.c4fm_modulate(dibits, fs, baud)
     # The raised-cosine frequency pulse has zero ISI at symbol centers, so
     # the instantaneous frequency there equals the symbol level exactly.
-    delay = (int(round(12 * sps)) | 1) // 2  # pulse group delay
+    # _shape_pulse_train centers pulse k at sample k*sps (zero group delay).
     inst_freq = np.angle(iq[1:] * np.conj(iq[:-1])) * fs / (2 * np.pi)
     levels = generators.dibits_to_symbols(dibits)
     for i in range(40, 160):
-        c = delay + int(round(i * sps))
+        c = int(round(i * sps))
         measured = inst_freq[c - 1]
         assert abs(measured - levels[i] * 600.0) < 90.0, (i, measured, levels[i])
 

@@ -1,0 +1,59 @@
+"""Sharded pipeline tests on the virtual 8-device CPU mesh: the sharded
+channelize+extract must equal the single-device reference path exactly."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sdrtrunk_tpu.dsp.channelizer import Channelizer
+from sdrtrunk_tpu.dsp.extract import extract_channels, plan_channels
+from sdrtrunk_tpu.parallel.pipeline import ShardedChannelizerPipeline
+from sdrtrunk_tpu.signal import generators
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return jax.make_mesh((8,), ("shard",))
+
+
+def test_sharded_matches_single_device(mesh):
+    M = 16
+    fs = M * 12500.0
+    ch = Channelizer.design(fs, 12500.0, 9, channels=M)
+    rng = np.random.default_rng(0)
+    n = 8 * M * 32  # 8 shards of M*32 samples
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    offsets = [2 * 12500.0, 5 * 12500.0 + 3000.0, -3 * 12500.0,
+               7 * 12500.0, -6 * 12500.0 - 2000.0, 12500.0,
+               4 * 12500.0, -12500.0]
+    plan = plan_channels(ch, offsets)
+
+    # single-device reference
+    y, _ = ch(jnp.asarray(x))
+    ref_streams, _ = extract_channels(y, plan)
+
+    pipe = ShardedChannelizerPipeline(ch, plan, mesh)
+    run = pipe.build()
+    out = np.asarray(run(jnp.asarray(x)))
+
+    assert out.shape == ref_streams.shape
+    assert np.max(np.abs(out - np.asarray(ref_streams))) < 1e-4
+
+
+def test_sharded_tone_decodes(mesh):
+    """Tone through the sharded pipeline lands at DC on its channel."""
+    M = 16
+    fs = M * 12500.0
+    ch = Channelizer.design(fs, 12500.0, 9, channels=M)
+    f = 5 * 12500.0 + 3000.0
+    n = 8 * M * 64
+    x = generators.tone(f, fs, n)
+    plan = plan_channels(ch, [f] + [i * 12500.0 for i in (1, 2, 3, 4, 6, 7, -2)])
+    run = ShardedChannelizerPipeline(ch, plan, mesh).build()
+    out = np.asarray(run(jnp.asarray(x)))
+    s = out[0][64:]
+    dphi = np.angle(s[1:] * np.conj(s[:-1]))
+    assert np.abs(np.mean(dphi)) < 1e-3
