@@ -1,0 +1,79 @@
+"""Hamming codes used by P25 and DMR, defined by their standard parity
+column tables (P25 TIA-102.BAAA Hamming(10,6,3); DMR ETSI TS 102 361-1
+Annex B Hamming(13,9,3)/(15,11,3)/(16,11,4)/(17,12,5)).
+
+Column tables match the reference's (edac/Hamming10.java:?? et al.) because
+both come from the standards. Decoding is generic single-error syndrome
+correction; codes with extra distance detect (but don't correct) doubles.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["HammingCode", "HAMMING_10_6_3", "HAMMING_13_9_3",
+           "HAMMING_15_11_3", "HAMMING_16_11_4", "HAMMING_17_12_5"]
+
+
+class HammingCode:
+    """Systematic [n, k] Hamming: codeword = data ++ parity.
+
+    `columns[i]` is the parity-check column (int) for data bit i; parity
+    bits use identity columns 2^(r-1) .. 2^0 in order.
+    """
+
+    def __init__(self, name: str, n: int, k: int, columns: list[int]):
+        self.name = name
+        self.n = n
+        self.k = k
+        self.r = n - k
+        if len(columns) != k:
+            raise ValueError("need one column per data bit")
+        cols = np.asarray(columns, np.int64)
+        identity = (1 << (self.r - 1 - np.arange(self.r))).astype(np.int64)
+        self.cols = np.concatenate([cols, identity])  # (n,)
+
+    def encode(self, data: np.ndarray) -> np.ndarray:
+        d = np.asarray(data, np.uint8)
+        if len(d) != self.k:
+            raise ValueError(f"{self.name} expects {self.k} data bits")
+        s = 0
+        for p in np.nonzero(d)[0]:
+            s ^= int(self.cols[p])
+        pbits = np.array([(s >> (self.r - 1 - i)) & 1 for i in range(self.r)],
+                         np.uint8)
+        return np.concatenate([d, pbits])
+
+    def syndrome(self, word: np.ndarray) -> int:
+        s = 0
+        for p in np.nonzero(np.asarray(word, np.uint8))[0]:
+            s ^= int(self.cols[p])
+        return s
+
+    def decode(self, word: np.ndarray):
+        """(n,) -> (corrected word, n_errors 0|1|None)."""
+        w = np.asarray(word, np.uint8).copy()
+        if len(w) != self.n:
+            raise ValueError(f"{self.name} expects {self.n} bits")
+        s = self.syndrome(w)
+        if s == 0:
+            return w, 0
+        matches = np.nonzero(self.cols == s)[0]
+        if len(matches) == 0:
+            return w, None
+        w[matches[0]] ^= 1
+        return w, 1
+
+
+HAMMING_10_6_3 = HammingCode(
+    "Hamming(10,6,3)", 10, 6, [0xE, 0xD, 0xB, 0x7, 0x3, 0xC])
+HAMMING_13_9_3 = HammingCode(
+    "Hamming(13,9,3)", 13, 9, [0xF, 0xE, 0x7, 0xA, 0x5, 0xB, 0xC, 0x6, 0x3])
+HAMMING_15_11_3 = HammingCode(
+    "Hamming(15,11,3)", 15, 11,
+    [0x9, 0xD, 0xF, 0xE, 0x7, 0xA, 0x5, 0xB, 0xC, 0x6, 0x3])
+HAMMING_16_11_4 = HammingCode(
+    "Hamming(16,11,4)", 16, 11,
+    [0x13, 0x1A, 0x1F, 0x1C, 0x0E, 0x15, 0x0B, 0x16, 0x19, 0x0D, 0x07])
+HAMMING_17_12_5 = HammingCode(
+    "Hamming(17,12,5)", 17, 12,
+    [0x1B, 0x1F, 0x1D, 0x1C, 0x0E, 0x07, 0x11, 0x1A, 0x0D, 0x14, 0x0A, 0x05])

@@ -1,0 +1,156 @@
+"""Generic Reed-Solomon / binary-BCH codec: syndromes -> Berlekamp-Massey ->
+Chien search -> Forney, over any GF(2^m).
+
+Same algorithm family as the reference's BerlekempMassey.java:25 (the classic
+Rockliff structure), written from the textbook algorithm. Shortened codes are
+handled by treating the absent leading symbols as zeros.
+
+Conventions: `codeword[0]` is the FIRST symbol on the wire and holds data;
+parity occupies the tail. Generator roots are alpha^fcr .. alpha^(fcr+2t-1)
+with fcr=1 (P25 / DMR convention).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .galois import GF
+
+__all__ = ["ReedSolomon"]
+
+
+class ReedSolomon:
+    def __init__(self, n: int, k: int, gf: GF, fcr: int = 1):
+        if n > gf.size - 1:
+            raise ValueError(f"n={n} exceeds field codeword length {gf.size - 1}")
+        self.n = n
+        self.k = k
+        self.gf = gf
+        self.fcr = fcr
+        self.nroots = n - k
+        self.t = (n - k) // 2
+        # generator polynomial g(x) = prod (x - alpha^(fcr+i)), ascending coeffs
+        g = np.array([1], dtype=np.int64)
+        for i in range(self.nroots):
+            root = gf.pow_alpha(fcr + i)
+            g = gf.poly_mul(g, np.array([root, 1], dtype=np.int64))
+        self.genpoly = g  # len nroots+1, g[-1] == 1
+
+    # ---------------- encode ----------------
+
+    def encode(self, data: np.ndarray) -> np.ndarray:
+        """data (k,) -> codeword (n,) = data ++ parity (systematic)."""
+        data = np.asarray(data, np.int64)
+        if len(data) != self.k:
+            raise ValueError(f"expected {self.k} data symbols, got {len(data)}")
+        gf = self.gf
+        # polynomial division: x^(n-k) * d(x) mod g(x)
+        rem = np.zeros(self.nroots, dtype=np.int64)  # ascending coeffs
+        for d in data:  # feed highest-order symbol first
+            feedback = int(rem[-1]) ^ int(d)
+            rem[1:] = rem[:-1]
+            rem[0] = 0
+            if feedback:
+                rem ^= gf.mul(feedback, self.genpoly[:-1])
+        # rem holds parity, highest order at tail; wire order = descending
+        parity = rem[::-1]
+        return np.concatenate([data, parity])
+
+    # ---------------- decode ----------------
+
+    def decode(self, received: np.ndarray):
+        """received (n,) -> (corrected (n,), n_corrected | None).
+
+        Returns None for n_corrected when the word is uncorrectable.
+        """
+        r = np.asarray(received, np.int64).copy()
+        if len(r) != self.n:
+            raise ValueError(f"expected {self.n} symbols, got {len(r)}")
+        gf = self.gf
+        # received poly coeffs ascending: r[0] is the highest-order symbol
+        # (first on wire). coefficient of x^j is r[n-1-j].
+        shorten = (gf.size - 1) - self.n
+
+        # syndromes S_i = R(alpha^(fcr+i))
+        synd = np.zeros(self.nroots, dtype=np.int64)
+        coeffs_asc = r[::-1]  # index j -> coeff of x^j
+        for i in range(self.nroots):
+            synd[i] = int(gf.poly_eval(coeffs_asc, gf.pow_alpha(self.fcr + i)))
+        if not np.any(synd):
+            return r, 0
+
+        # Berlekamp-Massey for error locator sigma(x), ascending coeffs
+        sigma = np.zeros(self.nroots + 1, dtype=np.int64)
+        prev = np.zeros(self.nroots + 1, dtype=np.int64)
+        sigma[0] = 1
+        prev[0] = 1
+        L = 0
+        mshift = 1
+        b = 1
+        for i in range(self.nroots):
+            # discrepancy
+            d = int(synd[i])
+            for j in range(1, L + 1):
+                d ^= int(gf.mul(int(sigma[j]), int(synd[i - j])))
+            if d == 0:
+                mshift += 1
+            elif 2 * L <= i:
+                temp = sigma.copy()
+                coef = gf.mul(d, gf.inv(b))
+                shifted = np.zeros_like(prev)
+                shifted[mshift:] = prev[:-mshift] if mshift else prev
+                sigma = sigma ^ gf.mul(int(coef), shifted)
+                L = i + 1 - L
+                prev = temp
+                b = d
+                mshift = 1
+            else:
+                coef = gf.mul(d, gf.inv(b))
+                shifted = np.zeros_like(prev)
+                shifted[mshift:] = prev[:-mshift] if mshift else prev
+                sigma = sigma ^ gf.mul(int(coef), shifted)
+                mshift += 1
+        if L > self.t:
+            return r, None
+
+        # Chien search over valid positions of the (possibly shortened) code
+        # error position p (0-based from wire start) corresponds to
+        # coefficient x^(n-1-p); locator root test: sigma(alpha^{-(n-1-p)})==0
+        positions = []
+        for p in range(self.n):
+            xinv = gf.pow_alpha(-(self.n - 1 - p))
+            if int(gf.poly_eval(sigma[: L + 1], xinv)) == 0:
+                positions.append(p)
+        if len(positions) != L:
+            return r, None
+
+        # Forney: error values. Omega(x) = [S(x) * sigma(x)] mod x^nroots
+        spoly = np.zeros(self.nroots, dtype=np.int64)
+        spoly[:] = synd
+        omega = np.zeros(self.nroots, dtype=np.int64)
+        for i in range(self.nroots):
+            acc = 0
+            for j in range(0, min(i, L) + 1):
+                acc ^= int(gf.mul(int(sigma[j]), int(spoly[i - j])))
+            omega[i] = acc
+
+        for p in positions:
+            j = self.n - 1 - p            # power of x for this position
+            xinv = int(gf.pow_alpha(-j))  # X_l^{-1}
+            num = int(gf.poly_eval(omega, xinv))
+            # sigma'(x): formal derivative = odd-power coeffs
+            den = 0
+            for jj in range(1, L + 1, 2):
+                den ^= int(gf.mul(int(sigma[jj]), int(gf.pow_alpha(-j * (jj - 1)))))
+            if den == 0:
+                return r, None
+            mag = int(gf.mul(num, self.gf.inv(den)))
+            # e_l = X_l^{1-fcr} * Omega(X_l^{-1}) / sigma'(X_l^{-1})
+            if self.fcr != 1:
+                mag = int(gf.mul(mag, int(gf.pow_alpha(j * (1 - self.fcr)))))
+            r[p] ^= mag
+        # verify: recompute syndromes
+        coeffs_asc = r[::-1]
+        for i in range(self.nroots):
+            if int(gf.poly_eval(coeffs_asc, gf.pow_alpha(self.fcr + i))) != 0:
+                return np.asarray(received, np.int64), None
+        return r, L
