@@ -1,0 +1,157 @@
+"""P25 logical link data units LDU1/LDU2 (voice frames + link control).
+
+Layout of the 1568 payload bits (TIA-102.BAAA; offsets match the
+reference's LDU1Message.java GOLAY_WORD_STARTS / LDUMessage voice frame
+slices):
+
+  [0:144)   VC1        [144:288)  VC2
+  [288:328)  LC hexbits 0-3    [328:472)  VC3
+  [472:512)  LC hexbits 4-7    [512:656)  VC4
+  [656:696)  LC hexbits 8-11   [696:840)  VC5
+  [840:880)  LC hexbits 12-15  [880:1024) VC6
+  [1024:1064) LC hexbits 16-19 [1064:1208) VC7
+  [1208:1248) LC hexbits 20-23 [1248:1392) VC8
+  [1392:1424) LSD (32)         [1424:1568) VC9
+
+Each LC hexbit is Hamming(10,6,3)-coded; the 24 hexbits form an RS(24,12,13)
+codeword for LDU1 (72-bit link control) or RS(24,16,9) for LDU2 (96-bit
+encryption sync: MI 72 + ALGID 8 + KID 16).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bits import from_int, to_int
+from ..edac.galois import GF64_P25
+from ..edac.hamming import HAMMING_10_6_3
+from ..edac.rs import ReedSolomon
+from .lc import LinkControl, lc_parse
+
+__all__ = ["LDU1", "LDU2", "ldu1_encode", "ldu1_decode", "ldu2_encode",
+           "ldu2_decode", "VOICE_OFFSETS", "LC_GROUP_OFFSETS"]
+
+VOICE_OFFSETS = [0, 144, 328, 512, 696, 880, 1064, 1248, 1424]
+LC_GROUP_OFFSETS = [288, 472, 656, 840, 1024, 1208]  # 4 hexbits each
+
+_RS_24_12 = ReedSolomon(24, 12, GF64_P25)
+_RS_24_16 = ReedSolomon(24, 16, GF64_P25)
+
+
+@dataclass
+class LDU1:
+    link_control: LinkControl | None
+    voice_frames: np.ndarray     # (9, 144) raw IMBE frames
+    lsd: np.ndarray              # 32 bits
+    corrected: int = 0
+
+
+@dataclass
+class LDU2:
+    message_indicator: np.ndarray | None   # 72 bits
+    algorithm_id: int | None
+    key_id: int | None
+    voice_frames: np.ndarray
+    lsd: np.ndarray
+    corrected: int = 0
+
+    @property
+    def encrypted(self) -> bool:
+        return self.algorithm_id is not None and self.algorithm_id != 0x80
+
+
+def _hexbits_to_payload(hexbits24: np.ndarray, voice_frames: np.ndarray,
+                        lsd: np.ndarray) -> np.ndarray:
+    """Assemble the 1568-bit payload from 24 coded hexbits + voice + LSD."""
+    payload = np.zeros(1568, dtype=np.uint8)
+    for vf, off in zip(voice_frames, VOICE_OFFSETS):
+        payload[off: off + 144] = vf
+    for g, goff in enumerate(LC_GROUP_OFFSETS):
+        for j in range(4):
+            hex_val = int(hexbits24[4 * g + j])
+            coded = HAMMING_10_6_3.encode(from_int(hex_val, 6))
+            payload[goff + 10 * j: goff + 10 * j + 10] = coded
+    payload[1392:1424] = lsd
+    return payload
+
+
+def _payload_to_hexbits(payload: np.ndarray):
+    """-> (24 hexbit values, hamming_corrected_bits)."""
+    hexbits = np.zeros(24, dtype=np.int64)
+    corrected = 0
+    for g, goff in enumerate(LC_GROUP_OFFSETS):
+        for j in range(4):
+            word = payload[goff + 10 * j: goff + 10 * j + 10]
+            dec, nerr = HAMMING_10_6_3.decode(word)
+            if nerr:
+                corrected += nerr
+            hexbits[4 * g + j] = to_int(dec, 0, 6)
+    return hexbits, corrected
+
+
+def ldu1_encode(lc_bits72: np.ndarray, voice_frames: np.ndarray,
+                lsd: np.ndarray | None = None) -> np.ndarray:
+    lc_bits72 = np.asarray(lc_bits72, np.uint8)
+    if len(lc_bits72) != 72:
+        raise ValueError("LDU1 link control must be 72 bits")
+    data_hex = np.array([to_int(lc_bits72, 6 * i, 6 * i + 6)
+                         for i in range(12)], np.int64)
+    hexbits = _RS_24_12.encode(data_hex)
+    lsd = np.zeros(32, np.uint8) if lsd is None else np.asarray(lsd, np.uint8)
+    return _hexbits_to_payload(hexbits, np.asarray(voice_frames, np.uint8),
+                               lsd)
+
+
+def ldu1_decode(payload: np.ndarray) -> LDU1:
+    p = np.asarray(payload, np.uint8)
+    if len(p) != 1568:
+        raise ValueError("LDU1 payload must be 1568 bits")
+    hexbits, ham_err = _payload_to_hexbits(p)
+    corrected_cw, rs_err = _RS_24_12.decode(hexbits)
+    lc = None
+    corrected = ham_err
+    if rs_err is not None:
+        corrected += rs_err
+        lc_bits = np.concatenate(
+            [from_int(int(h), 6) for h in corrected_cw[:12]])
+        lc = lc_parse(lc_bits)
+    voice = np.stack([p[off: off + 144] for off in VOICE_OFFSETS])
+    return LDU1(link_control=lc, voice_frames=voice, lsd=p[1392:1424],
+                corrected=corrected)
+
+
+def ldu2_encode(mi_bits72: np.ndarray, algorithm_id: int, key_id: int,
+                voice_frames: np.ndarray,
+                lsd: np.ndarray | None = None) -> np.ndarray:
+    mi = np.asarray(mi_bits72, np.uint8)
+    if len(mi) != 72:
+        raise ValueError("message indicator must be 72 bits")
+    data_bits = np.concatenate(
+        [mi, from_int(algorithm_id, 8), from_int(key_id, 16)])
+    data_hex = np.array([to_int(data_bits, 6 * i, 6 * i + 6)
+                         for i in range(16)], np.int64)
+    hexbits = _RS_24_16.encode(data_hex)
+    lsd = np.zeros(32, np.uint8) if lsd is None else np.asarray(lsd, np.uint8)
+    return _hexbits_to_payload(hexbits, np.asarray(voice_frames, np.uint8),
+                               lsd)
+
+
+def ldu2_decode(payload: np.ndarray) -> LDU2:
+    p = np.asarray(payload, np.uint8)
+    if len(p) != 1568:
+        raise ValueError("LDU2 payload must be 1568 bits")
+    hexbits, ham_err = _payload_to_hexbits(p)
+    corrected_cw, rs_err = _RS_24_16.decode(hexbits)
+    mi = algid = kid = None
+    corrected = ham_err
+    if rs_err is not None:
+        corrected += rs_err
+        data_bits = np.concatenate(
+            [from_int(int(h), 6) for h in corrected_cw[:16]])
+        mi = data_bits[:72]
+        algid = to_int(data_bits, 72, 80)
+        kid = to_int(data_bits, 80, 96)
+    voice = np.stack([p[off: off + 144] for off in VOICE_OFFSETS])
+    return LDU2(message_indicator=mi, algorithm_id=algid, key_id=kid,
+                voice_frames=voice, lsd=p[1392:1424], corrected=corrected)
