@@ -1,0 +1,115 @@
+"""DMR control signalling block (CSBK) codec + common opcode parsing.
+
+Wire: 196 BPTC(196,96)-coded bits -> 96 bits = LB(1) PF(1) CSBKO(6) FID(8)
+data(64) CRC-CCITT(16, mask 0xA5A5) (ETSI TS 102 361-1/-4; reference
+message/data/csbk/CSBKMessage.java and standard/ subclasses).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bits import from_int, to_int
+from ..edac.bptc import bptc_196_96_decode, bptc_196_96_encode
+from ..edac.crc import DMR_MASK_CSBK, check_crc16_ccitt, crc16_ccitt
+
+__all__ = ["CSBK", "csbk_encode", "csbk_decode", "CSBKO_NAMES"]
+
+CSBKO_NAMES = {
+    0x01: "UNIT_TO_UNIT_SERVICE_REQUEST",
+    0x02: "UNIT_TO_UNIT_ANSWER_RESPONSE",
+    0x03: "CHANNEL_TIMING",
+    0x19: "ALOHA",
+    0x1A: "UDT_DOWNLINK_HEADER",
+    0x1C: "AHOY",
+    0x1E: "ACKVITATION",
+    0x1F: "RANDOM_ACCESS_SERVICE_REQUEST",
+    0x20: "ACKNOWLEDGE_RESPONSE_OUTBOUND_TSCC",
+    0x21: "ACKNOWLEDGE_RESPONSE_INBOUND_TSCC",
+    0x26: "NEGATIVE_ACKNOWLEDGE_RESPONSE",
+    0x28: "MAINTENANCE",
+    0x2E: "CLEAR",
+    0x2F: "PROTECT",
+    0x30: "PRIVATE_VOICE_CHANNEL_GRANT",
+    0x31: "TALKGROUP_VOICE_CHANNEL_GRANT",
+    0x32: "PRIVATE_BROADCAST_VOICE_CHANNEL_GRANT",
+    0x33: "PRIVATE_DATA_CHANNEL_GRANT_SINGLE_ITEM",
+    0x34: "TALKGROUP_DATA_CHANNEL_GRANT_SINGLE_ITEM",
+    0x38: "C_BCAST",
+    0x39: "P_MAINTENANCE",
+    0x3A: "P_CLEAR",
+    0x3D: "PREAMBLE",
+}
+
+
+@dataclass
+class CSBK:
+    last_block: bool
+    protected: bool
+    opcode: int
+    fid: int
+    data: np.ndarray           # 64 bits
+    corrected: int = 0
+    fields: dict = field(default_factory=dict)
+
+    @property
+    def opcode_name(self) -> str:
+        return CSBKO_NAMES.get(self.opcode, f"CSBKO_{self.opcode:02X}")
+
+
+def csbk_encode(opcode: int, data: np.ndarray, fid: int = 0,
+                last_block: bool = True) -> np.ndarray:
+    data = np.asarray(data, np.uint8)
+    if len(data) != 64:
+        raise ValueError("CSBK data must be 64 bits")
+    body = np.concatenate([
+        np.array([int(last_block), 0], np.uint8),
+        from_int(opcode, 6), from_int(fid, 8), data])
+    crc = crc16_ccitt(body, xor_out=0) ^ DMR_MASK_CSBK
+    return bptc_196_96_encode(np.concatenate([body, from_int(crc, 16)]))
+
+
+def csbk_decode(bits196: np.ndarray) -> CSBK | None:
+    info, nerr = bptc_196_96_decode(np.asarray(bits196, np.uint8))
+    if nerr is None:
+        return None
+    if not check_crc16_ccitt(info, 80, mask=DMR_MASK_CSBK):
+        return None
+    csbk = CSBK(
+        last_block=bool(info[0]), protected=bool(info[1]),
+        opcode=to_int(info, 2, 8), fid=to_int(info, 8, 16),
+        data=info[16:80], corrected=nerr)
+    csbk.fields = _parse(csbk)
+    return csbk
+
+
+def _parse(c: CSBK) -> dict:
+    d = c.data
+    if c.fid != 0:
+        return {}
+    if c.opcode == 0x3D:       # preamble
+        return {
+            "content": "DATA" if d[0] else "CSBK",
+            "target_is_group": bool(d[1]),
+            "blocks_to_follow": to_int(d, 8, 16),
+            "target_address": to_int(d, 16, 40),
+            "source_address": to_int(d, 40, 64),
+        }
+    if c.opcode == 0x19:       # aloha
+        return {
+            "service_function": to_int(d, 2, 4),
+            "nrand_wait": to_int(d, 8, 12),
+            "registration_required": bool(d[13]),
+            "backoff": to_int(d, 14, 18),
+            "system_identity_code": to_int(d, 18, 32),
+            "ms_address": to_int(d, 40, 64),
+        }
+    if c.opcode in (0x30, 0x31):  # voice channel grants
+        return {
+            "channel": to_int(d, 0, 12),
+            "timeslot": 2 if d[12] else 1,
+            "target_address": to_int(d, 16, 40),
+            "source_address": to_int(d, 40, 64),
+        }
+    return {}

@@ -1,0 +1,165 @@
+"""DMR link control: full LC (RS(12,9,4)-protected, 96 bits) and
+embedded LC (BPTC(128,77) across voice frames B-E).
+
+Full LC (ETSI TS 102 361-1 B.2.2; reference ReedSolomon_12_9_4_DMR.java):
+72 LC bits + 3 parity octets over GF(256), with a per-message-type XOR mask
+on the parity (voice header 0x96, terminator 0x99).
+
+Embedded LC (ETSI B.2.1; reference FLCAssembler.java:80-150): 4 x 32-bit
+fragments -> 128 bits, descrambled by i -> (i*8) % 127, as 8 rows x 16
+columns of Hamming(16,11,4) rows + a column-parity row; 72 LC bits live in
+rows 0-1 cols 0-10 and rows 2-6 cols 0-9 (plus a 5-bit checksum).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bits import from_int, to_int
+from ..edac.galois import GF256_DMR
+from ..edac.hamming import HAMMING_16_11_4
+from ..edac.rs import ReedSolomon
+
+__all__ = ["FullLC", "full_lc_encode", "full_lc_decode",
+           "embedded_lc_encode", "embedded_lc_decode",
+           "MASK_VOICE_HEADER", "MASK_TERMINATOR", "FLCO_NAMES",
+           "lc_build_group_voice"]
+
+MASK_VOICE_HEADER = 0x96
+MASK_TERMINATOR = 0x99
+
+_RS_12_9 = ReedSolomon(12, 9, GF256_DMR)
+
+FLCO_NAMES = {
+    0x00: "GROUP_VOICE_CHANNEL_USER",
+    0x03: "UNIT_TO_UNIT_VOICE_CHANNEL_USER",
+    0x04: "GROUP_VOICE_CHANNEL_USER_BROADCAST",
+    0x08: "GPS_INFORMATION",
+    0x09: "TALKER_ALIAS_HEADER",
+    0x0A: "TALKER_ALIAS_BLOCK_1",
+    0x0B: "TALKER_ALIAS_BLOCK_2",
+    0x0C: "TALKER_ALIAS_BLOCK_3",
+    0x30: "TERMINATOR_DATA",
+}
+
+
+@dataclass
+class FullLC:
+    protected: bool
+    flco: int
+    fid: int
+    raw: np.ndarray           # 72 LC bits
+    corrected: int = 0
+    fields: dict = field(default_factory=dict)
+
+    @property
+    def flco_name(self) -> str:
+        return FLCO_NAMES.get(self.flco, f"FLCO_{self.flco:02X}")
+
+
+def _parse_lc(bits72: np.ndarray, corrected: int = 0) -> FullLC:
+    b = np.asarray(bits72, np.uint8)
+    lc = FullLC(protected=bool(b[0]), flco=to_int(b, 2, 8),
+                fid=to_int(b, 8, 16), raw=b, corrected=corrected)
+    if lc.fid == 0 and lc.flco in (0x00, 0x03):
+        lc.fields = {
+            "service_options": to_int(b, 16, 24),
+            ("group_address" if lc.flco == 0x00 else "target_address"):
+                to_int(b, 24, 48),
+            "source_address": to_int(b, 48, 72),
+        }
+    return lc
+
+
+def lc_build_group_voice(group: int, source: int,
+                         service_options: int = 0) -> np.ndarray:
+    """72-bit GROUP_VOICE_CHANNEL_USER full LC."""
+    return np.concatenate([
+        from_int(0, 2), from_int(0x00, 6), from_int(0x00, 8),
+        from_int(service_options, 8), from_int(group, 24),
+        from_int(source, 24)])
+
+
+def full_lc_encode(lc_bits72: np.ndarray, mask: int) -> np.ndarray:
+    """72 LC bits -> 96 bits with masked RS(12,9,4) parity."""
+    b = np.asarray(lc_bits72, np.uint8)
+    if len(b) != 72:
+        raise ValueError("full LC must be 72 bits")
+    octets = np.array([to_int(b, 8 * i, 8 * i + 8) for i in range(9)],
+                      np.int64)
+    cw = _RS_12_9.encode(octets)
+    parity = cw[9:] ^ mask
+    out = np.concatenate([b] + [from_int(int(p), 8) for p in parity])
+    return out
+
+
+def full_lc_decode(bits96: np.ndarray, mask: int) -> FullLC | None:
+    b = np.asarray(bits96, np.uint8)
+    if len(b) != 96:
+        raise ValueError("full LC word must be 96 bits")
+    octets = np.array([to_int(b, 8 * i, 8 * i + 8) for i in range(12)],
+                      np.int64)
+    octets[9:] ^= mask
+    cw, nerr = _RS_12_9.decode(octets)
+    if nerr is None:
+        return None
+    lc_bits = np.concatenate([from_int(int(o), 8) for o in cw[:9]])
+    return _parse_lc(lc_bits, corrected=nerr)
+
+
+# --- embedded LC: BPTC(128,77) with bit scrambling ---
+
+_DESCRAMBLE = np.concatenate([(np.arange(127) * 8) % 127, [127]])
+
+
+def embedded_lc_encode(lc_bits72: np.ndarray) -> np.ndarray:
+    """72 LC bits -> 4 fragments of 32 bits (frames B..E)."""
+    b = np.asarray(lc_bits72, np.uint8)
+    if len(b) != 72:
+        raise ValueError("embedded LC must be 72 bits")
+    mat = np.zeros((8, 16), dtype=np.uint8)
+    # data placement: rows 0-1 cols 0-10, rows 2-6 cols 0-9
+    ptr = 0
+    for row in range(2):
+        mat[row, :11] = b[ptr: ptr + 11]
+        ptr += 11
+    for row in range(2, 7):
+        mat[row, :10] = b[ptr: ptr + 10]
+        ptr += 10
+    # 5-bit checksum: sum of the 9 LC octets mod 31 (ETSI B.3.11)
+    total = sum(to_int(b, 8 * i, 8 * i + 8) for i in range(9)) % 31
+    cs = from_int(total, 5)
+    for row in range(2, 7):
+        mat[row, 10] = cs[row - 2]
+    for row in range(7):
+        mat[row] = HAMMING_16_11_4.encode(mat[row, :11])
+    mat[7] = np.bitwise_xor.reduce(mat[:7], axis=0)  # column parity row
+    descrambled = mat.reshape(-1)
+    scrambled = np.zeros(128, dtype=np.uint8)
+    scrambled[_DESCRAMBLE] = descrambled
+    return scrambled.reshape(4, 32)
+
+
+def embedded_lc_decode(fragments: np.ndarray) -> FullLC | None:
+    """(4, 32) fragments from frames B..E -> FullLC or None."""
+    raw = np.asarray(fragments, np.uint8).reshape(-1)
+    if len(raw) != 128:
+        raise ValueError("embedded LC needs 128 bits")
+    mat = raw[_DESCRAMBLE].reshape(8, 16)
+    corrected = 0
+    for row in range(7):
+        word, nerr = HAMMING_16_11_4.decode(mat[row])
+        if nerr is None:
+            return None
+        corrected += nerr
+        mat[row] = word
+    if np.any(np.bitwise_xor.reduce(mat, axis=0)):
+        return None
+    bits = np.concatenate([mat[0, :11], mat[1, :11]] +
+                          [mat[r, :10] for r in range(2, 7)])
+    cs = to_int(np.array([mat[r, 10] for r in range(2, 7)], np.uint8))
+    total = sum(to_int(bits, 8 * i, 8 * i + 8) for i in range(9)) % 31
+    if cs != total:
+        return None
+    return _parse_lc(bits, corrected=corrected)

@@ -54,8 +54,15 @@ def awgn(x: np.ndarray, snr_db: float, rng=None) -> np.ndarray:
 
 def fm_modulate(message: np.ndarray, deviation_hz: float,
                 sample_rate: float, amplitude: float = 1.0) -> np.ndarray:
-    """FM-modulate a real message (|message| <= 1) to complex baseband."""
-    phase = TWO_PI * deviation_hz / sample_rate * np.cumsum(np.asarray(message, np.float64))
+    """FM-modulate a real message (|message| <= 1) to complex baseband.
+
+    Phase is accumulated trapezoidally — a plain cumsum (left Riemann sum)
+    adds O(f_dot/fs) phase jitter that shows up as differential-phase ISI
+    in symbol-recovery tests.
+    """
+    m = np.asarray(message, np.float64)
+    mid = np.concatenate([[m[0]], 0.5 * (m[1:] + m[:-1])])
+    phase = TWO_PI * deviation_hz / sample_rate * np.cumsum(mid)
     return (amplitude * np.exp(1j * phase)).astype(np.complex64)
 
 
@@ -133,6 +140,48 @@ def _shape_pulse_train(levels: np.ndarray, sps: float, n: int,
     return out
 
 
+def _c4fm_pulse(alpha: float = 0.2, span_symbols: int = 12,
+                res: int = 64):
+    """C4FM frequency-pulse sampled on a fine grid (symbol units).
+
+    TIA-102.BAAA defines the C4FM modulation filter as a Nyquist raised
+    cosine CASCADED with the shaping filter P(f) = (pi f T) / sin(pi f T)
+    — the inverse of the receiver's integrate-over-a-symbol (differential
+    phase) response. With this pre-compensation the phase CHANGE across
+    each symbol period is exactly +/-45 or +/-135 degrees even for
+    alternating +/-3 runs (e.g. sync patterns); a plain RC pulse
+    compresses alternating-run differential phases by ~35%.
+
+    Returns (grid_t, values) with grid_t in symbol units; values
+    normalized so a pulse train sums to 1 at any instant for an all-ones
+    symbol stream.
+    """
+    # frequency grid over the RC support
+    T = 1.0
+    fmax = (1.0 + alpha) / (2.0 * T)
+    f = np.linspace(0.0, fmax, 2048)
+    # raised cosine spectrum (unit DC)
+    h = np.ones_like(f)
+    f1 = (1.0 - alpha) / (2.0 * T)
+    roll = (f > f1)
+    h[roll] = 0.5 * (1.0 + np.cos(np.pi * T / alpha * (f[roll] - f1)))
+    # inverse-sinc shaping: P(f) = (pi f T) / sin(pi f T)
+    x = np.maximum(np.pi * f * T, 1e-12)
+    shaping = x / np.sin(np.minimum(x, np.pi - 1e-9))
+    shaping[0] = 1.0
+    H = h * shaping
+    # time domain on a fine grid via cosine transform
+    tgrid = np.arange(-span_symbols / 2 * res,
+                      span_symbols / 2 * res + 1) / res
+    p = 2.0 * np.trapezoid(H[None, :] * np.cos(
+        2.0 * np.pi * tgrid[:, None] * f[None, :]), f, axis=1)
+    p *= T  # unit DC gain of the pulse train
+    return tgrid, p
+
+
+_C4FM_PULSE_CACHE: dict = {}
+
+
 def random_dibits(count: int, seed: int = 0) -> np.ndarray:
     return np.random.default_rng(seed).integers(0, 4, size=count).astype(np.int32)
 
@@ -156,10 +205,17 @@ def c4fm_modulate(dibits: np.ndarray, sample_rate: float,
     sps = sample_rate / symbol_rate
     levels = dibits_to_symbols(dibits)
     n = int(np.ceil(len(levels) * sps)) + int(np.ceil(span_symbols * sps))
-    message = _shape_pulse_train(levels, sps, n, span_symbols, alpha)
-    freq_hz = message * C4FM_DEVIATION_HZ
-    phase = TWO_PI / sample_rate * np.cumsum(freq_hz)
-    return (amplitude * np.exp(1j * phase)).astype(np.complex64)
+    key = (alpha, span_symbols)
+    if key not in _C4FM_PULSE_CACHE:
+        _C4FM_PULSE_CACHE[key] = _c4fm_pulse(alpha, span_symbols)
+    tgrid, pvals = _C4FM_PULSE_CACHE[key]
+
+    def pulse_fn(t):
+        return np.interp(t, tgrid, pvals, left=0.0, right=0.0)
+
+    message = _shape_pulse_train(levels, sps, n, span_symbols, alpha,
+                                 pulse_fn=pulse_fn)
+    return fm_modulate(message, C4FM_DEVIATION_HZ, sample_rate, amplitude)
 
 
 def lsm_modulate(dibits: np.ndarray, sample_rate: float,

@@ -16,8 +16,10 @@ def test_fm_demodulate_recovers_tone():
     gain = demod.fm_gain(fs, 3000.0)
     y, _ = demod.fm_demodulate(jnp.asarray(iq), gain=gain)
     y = np.asarray(y)[100:-100]
-    ref = audio[100:-100]
-    # recovered audio should correlate > 0.999 with the message
+    # fm_modulate integrates trapezoidally -> the modulated message is the
+    # half-sample-shifted midpoint sequence; compare against that
+    mid = 0.5 * (audio[1:] + audio[:-1])
+    ref = np.concatenate([[audio[0]], mid])[100:-100]
     corr = np.corrcoef(y, ref)[0, 1]
     assert corr > 0.999
     assert np.max(np.abs(y)) == pytest.approx(1.0, abs=0.05)
@@ -87,20 +89,25 @@ def test_fs4_down_convert():
 
 
 def test_c4fm_modulator_phase_steps():
-    """Differential phase at symbol instants should be ~ +/-pi/4, +/-3pi/4."""
+    """Differential phase over each symbol period must be +/-45 / +/-135 deg.
+
+    C4FM's modulation filter (RC Nyquist x inverse-sinc shaping,
+    TIA-102.BAAA) makes the INTEGRATED frequency over a centered symbol
+    window ISI-free — that is exactly what a differential-phase detector
+    measures. Includes an alternating +/-3 run (sync-like worst case).
+    """
     fs, baud = 48000.0, 4800.0
     sps = fs / baud
-    dibits = generators.random_dibits(200, seed=2)
+    dibits = np.concatenate([generators.random_dibits(100, seed=2),
+                             np.array([1, 3] * 20, np.int32),
+                             generators.random_dibits(60, seed=3)])
     iq = generators.c4fm_modulate(dibits, fs, baud)
-    # The raised-cosine frequency pulse has zero ISI at symbol centers, so
-    # the instantaneous frequency there equals the symbol level exactly.
-    # _shape_pulse_train centers pulse k at sample k*sps (zero group delay).
-    inst_freq = np.angle(iq[1:] * np.conj(iq[:-1])) * fs / (2 * np.pi)
+    phase = np.unwrap(np.angle(iq))
     levels = generators.dibits_to_symbols(dibits)
-    for i in range(40, 160):
-        c = int(round(i * sps))
-        measured = inst_freq[c - 1]
-        assert abs(measured - levels[i] * 600.0) < 90.0, (i, measured, levels[i])
+    for i in range(10, len(dibits) - 10):
+        t1 = int(round((i + 0.5) * sps))
+        dp = (phase[t1] - phase[t1 - int(sps)]) * 180.0 / np.pi
+        assert abs(dp - levels[i] * 45.0) < 6.0, (i, dp, levels[i])
 
 
 def test_wave_roundtrip(tmp_path):
