@@ -19,7 +19,7 @@ import numpy as np
 
 __all__ = [
     "crc_bits", "crc16_ccitt", "crc32_p25", "crc9_p25", "crc8_dmr",
-    "check_crc16_ccitt", "ltr_checksum",
+    "check_crc16_ccitt",
     "DMR_MASK_VOICE_LC", "DMR_MASK_TERMINATOR_LC", "DMR_MASK_PI_HEADER",
     "DMR_MASK_DATA_HEADER", "DMR_MASK_CSBK", "DMR_MASK_MBC_HEADER",
     "DMR_CCITT_MASKS",
@@ -67,27 +67,6 @@ def check_crc16_ccitt(bits: np.ndarray, data_len: int,
         rx = (rx << 1) | int(b)
     residual = calc ^ rx ^ mask
     return residual == 0 or residual == 0xFFFF
-
-
-def ltr_checksum(bits: np.ndarray) -> int:
-    """LTR 7-bit checksum: 2's-complement sum of the 33 data bits taken as
-    hextets... implemented as the standard LTR algorithm: sum of data
-    fields, complemented, modulo 128 (edac/CRCLTR.java semantics are
-    table-based; this is the arithmetic definition)."""
-    # LTR word: area(1) goto(5) home(5) id(8) free(8) -> 27 bits, +7 crc
-    b = np.asarray(bits, np.uint8)
-    if len(b) < 27:
-        raise ValueError("LTR checksum needs >= 27 data bits")
-    total = 0
-    # sum the data octet-wise (final partial octet left-aligned)
-    for start in range(0, 27, 8):
-        seg = b[start: start + 8]
-        v = 0
-        for bit in seg:
-            v = (v << 1) | int(bit)
-        v <<= (8 - len(seg))
-        total += v
-    return (total + 1) & 0x7F
 
 
 # --- DMR CRC masks (ETSI TS 102 361-1 B.3.11) ---
