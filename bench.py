@@ -43,8 +43,9 @@ def main():
 
     n = m * chunk_blocks  # samples per step; K per channel = 2*chunk_blocks
     rng = np.random.default_rng(0)
-    x = jnp.asarray((0.1 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
-                     ).astype(np.complex64))
+    # float32 (n, 2) I/Q pairs: complex arrays cannot cross the TPU
+    # host<->device boundary; complex is formed on device (receiver.run)
+    x = jnp.asarray(0.1 * rng.standard_normal((n, 2)).astype(np.float32))
 
     # warmup / compile
     outputs, state = step(x, state)

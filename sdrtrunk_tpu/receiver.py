@@ -70,6 +70,12 @@ class WidebandReceiver:
 
         @jax.jit
         def run(x, state):
+            # Accept complex IQ or float32 (n, 2) I/Q pairs. The pair form
+            # is the TPU-boundary convention: the axon TPU backend cannot
+            # transfer complex arrays host<->device, so complex is formed
+            # ON device and only real arrays cross the boundary.
+            if x.ndim == 2:
+                x = jax.lax.complex(x[:, 0], x[:, 1])
             xp = jnp.concatenate([state["chan"], x.astype(jnp.complex64)])
             y = _channelize_core(xp, hmat, m)                  # (K, M)
             k = y.shape[0]

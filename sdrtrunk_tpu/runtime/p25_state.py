@@ -1,0 +1,116 @@
+"""P25 Phase 1 decoder state: typed messages -> channel state, identifiers,
+decode events, traffic grants (role of
+module/decode/p25/phase1/P25P1DecoderState.java).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..protocol.p25p1.duid import DUID
+from ..protocol.p25p1.messages import P25P1Message
+from .events import DecodeEvent, DecodeEventHistory, DecodeEventType
+from .identifiers import Identifier, IdentifierCollection, IdentifierRole
+from .state import ChannelState, StateMachine
+from .traffic import FrequencyBand, TrafficChannelManager
+
+__all__ = ["P25P1DecoderState"]
+
+
+class P25P1DecoderState:
+    def __init__(self, traffic: TrafficChannelManager | None = None):
+        self.state_machine = StateMachine()
+        self.identifiers = IdentifierCollection()
+        self.history = DecodeEventHistory()
+        self.traffic = traffic or TrafficChannelManager("APCO25")
+        self.current_call: DecodeEvent | None = None
+
+    def receive(self, message: P25P1Message, now: float) -> None:
+        if not message.valid:
+            return
+        self.identifiers.update(Identifier.nac(message.nac))
+        handler = {
+            DUID.TSBK: self._tsbk,
+            DUID.HDU: self._hdu,
+            DUID.LDU1: self._ldu1,
+            DUID.LDU2: self._ldu2,
+            DUID.TDU: self._terminator,
+            DUID.TDULC: self._terminator,
+        }.get(message.duid)
+        if handler is not None:
+            handler(message, now)
+        self.state_machine.check(now)
+
+    # --- handlers ---
+
+    def _tsbk(self, message: P25P1Message, now: float) -> None:
+        self.state_machine.set_state(ChannelState.CONTROL, now)
+        t = message.content
+        f = t.fields
+        if t.opcode in (0x34, 0x3D) and f:      # IDEN_UP / IDEN_UP_VU
+            self.traffic.update_band(FrequencyBand(
+                identifier=f["identifier"],
+                base_frequency_hz=f["base_frequency_mhz"] * 1e6,
+                channel_spacing_hz=f["channel_spacing_khz"] * 1e3))
+        elif t.opcode == 0x00 and f:            # group voice grant
+            self.traffic.process_grant(
+                band_id=f["frequency_band"],
+                channel_number=f["channel_number"], now=now,
+                group=f["group_address"], source=f["source_address"])
+        elif t.opcode == 0x02 and f:            # grant update (2 grants)
+            for n in ("1", "2"):
+                if f.get(f"group_address_{n}"):
+                    self.traffic.process_grant(
+                        band_id=f[f"frequency_band_{n}"],
+                        channel_number=f[f"channel_number_{n}"], now=now,
+                        group=f[f"group_address_{n}"])
+        elif t.opcode == 0x3A and f:            # RFSS status
+            self.identifiers.update(Identifier.site(f["site_id"], "APCO25"))
+        self.traffic.check_teardown(now)
+
+    def _hdu(self, message: P25P1Message, now: float) -> None:
+        h = message.content
+        self.identifiers.update(
+            Identifier.talkgroup(h.talkgroup, IdentifierRole.TO, "APCO25"))
+        state = (ChannelState.ENCRYPTED if h.encrypted else ChannelState.CALL)
+        self.state_machine.set_state(state, now)
+        self._start_call(now, encrypted=h.encrypted)
+
+    def _ldu1(self, message: P25P1Message, now: float) -> None:
+        lc = message.content.link_control
+        if lc is not None and lc.fields:
+            if "group_address" in lc.fields:
+                self.identifiers.update(Identifier.talkgroup(
+                    lc.fields["group_address"], IdentifierRole.TO, "APCO25"))
+            if "source_address" in lc.fields:
+                self.identifiers.update(Identifier.radio(
+                    lc.fields["source_address"], IdentifierRole.FROM,
+                    "APCO25"))
+        self.state_machine.set_state(ChannelState.CALL, now)
+        self._start_call(now)
+        if self.current_call is not None:
+            self.current_call.identifiers.update_all(self.identifiers.all())
+            self.current_call.update(now)
+
+    def _ldu2(self, message: P25P1Message, now: float) -> None:
+        l2 = message.content
+        state = (ChannelState.ENCRYPTED if l2.encrypted
+                 else ChannelState.CALL)
+        self.state_machine.set_state(state, now)
+        self._start_call(now, encrypted=l2.encrypted)
+        if self.current_call is not None:
+            self.current_call.update(now)
+
+    def _terminator(self, message: P25P1Message, now: float) -> None:
+        if self.current_call is not None:
+            self.current_call.end(now)
+            self.current_call = None
+        self.state_machine.set_state(ChannelState.FADE, now)
+
+    def _start_call(self, now: float, encrypted: bool = False) -> None:
+        if self.current_call is None:
+            self.current_call = DecodeEvent(
+                event_type=(DecodeEventType.CALL_GROUP_ENCRYPTED if encrypted
+                            else DecodeEventType.CALL_GROUP),
+                time_start=now, protocol="APCO25",
+                identifiers=self.identifiers.copy())
+            self.history.receive(self.current_call)

@@ -1,0 +1,120 @@
+"""Control-plane tests: state machine, identifiers, aliases, events,
+traffic manager, and the P25 decoder-state message flow."""
+import numpy as np
+
+from sdrtrunk_tpu.protocol import bits as B
+from sdrtrunk_tpu.protocol.p25p1 import DUID
+from sdrtrunk_tpu.protocol.p25p1.framer import P25P1Frame
+from sdrtrunk_tpu.protocol.p25p1.messages import decode_frame
+from sdrtrunk_tpu.protocol.p25p1.tsbk import tsbk_encode
+from sdrtrunk_tpu.runtime import (Alias, AliasList, ChannelState,
+                                  DecodeEventType, FrequencyBand, Identifier,
+                                  IdentifierCollection, StateMachine,
+                                  TrafficChannelManager)
+from sdrtrunk_tpu.runtime.aliases import TalkgroupMatcher
+from sdrtrunk_tpu.runtime.identifiers import IdentifierForm, IdentifierRole
+from sdrtrunk_tpu.runtime.p25_state import P25P1DecoderState
+
+
+def test_state_machine_transitions_and_timeouts():
+    sm = StateMachine(fade_timeout=1.0, end_timeout=2.0)
+    assert sm.state == ChannelState.IDLE
+    assert sm.set_state(ChannelState.CALL, now=0.0)
+    # illegal: CONTROL cannot go to CALL directly
+    sm2 = StateMachine()
+    sm2.set_state(ChannelState.CONTROL, now=0.0)
+    assert not sm2.set_state(ChannelState.CALL, now=0.1)
+    # timeout: CALL -> FADE -> TEARDOWN
+    sm.check(now=0.5)
+    assert sm.state == ChannelState.CALL
+    sm.check(now=1.5)
+    assert sm.state == ChannelState.FADE
+    sm.check(now=4.0)
+    assert sm.state == ChannelState.TEARDOWN
+    # refresh keeps active
+    sm3 = StateMachine(fade_timeout=1.0)
+    sm3.set_state(ChannelState.CALL, now=0.0)
+    sm3.set_state(ChannelState.CALL, now=0.9)
+    sm3.check(now=1.5)
+    assert sm3.state == ChannelState.CALL
+
+
+def test_identifier_collection_latest_wins():
+    ic = IdentifierCollection()
+    ic.update(Identifier.talkgroup(100))
+    ic.update(Identifier.talkgroup(200))
+    assert ic.get(IdentifierForm.TALKGROUP).value == 200
+    ic.update(Identifier.radio(7))
+    assert len(ic.all()) == 2
+    ic.remove(form=IdentifierForm.RADIO)
+    assert len(ic.all()) == 1
+
+
+def test_alias_lookup():
+    alias = Alias(name="Fire Dispatch", priority=10, record=True,
+                  matchers=[TalkgroupMatcher("APCO25", range_min=100,
+                                             range_max=199)])
+    other = Alias(name="PD", matchers=[TalkgroupMatcher("APCO25", value=500)])
+    al = AliasList("test", [alias, other])
+    tg = Identifier.talkgroup(150, protocol="APCO25")
+    assert al.lookup(tg).name == "Fire Dispatch"
+    assert al.is_recordable([tg])
+    assert al.priority([tg]) == 10
+    assert al.lookup(Identifier.talkgroup(500, protocol="APCO25")).name == "PD"
+    assert al.lookup(Identifier.talkgroup(999, protocol="APCO25")) is None
+
+
+def test_traffic_manager_grant_lifecycle():
+    activated, torn = [], []
+    tm = TrafficChannelManager(
+        on_activate=lambda f, i: activated.append(f),
+        on_teardown=lambda f: torn.append(f),
+        idle_teardown_seconds=2.0)
+    tm.update_band(FrequencyBand(identifier=1,
+                                 base_frequency_hz=851_000_000.0,
+                                 channel_spacing_hz=12500.0))
+    ch = tm.process_grant(band_id=1, channel_number=40, now=0.0,
+                          group=123, source=456)
+    assert ch is not None
+    assert ch.frequency_hz == 851_000_000.0 + 40 * 12500.0
+    assert activated == [ch.frequency_hz]
+    assert tm.events[0].event_type == DecodeEventType.CALL_GROUP
+    # repeated grant refreshes, does not duplicate
+    tm.process_grant(band_id=1, channel_number=40, now=1.0, group=123)
+    assert len(tm.active) == 1
+    # idle teardown
+    tm.check_teardown(now=3.5)
+    assert torn == [ch.frequency_hz] and not tm.active
+    # unknown band -> no activation
+    assert tm.process_grant(band_id=9, channel_number=1, now=0.0) is None
+
+
+def _tsbk_frame(opcode: int, args: np.ndarray) -> P25P1Frame:
+    from sdrtrunk_tpu.protocol.p25p1.tsbk import tsbk_decode
+    return P25P1Frame(nac=0x293, duid=DUID.TSBK,
+                      payload=tsbk_encode(opcode, args), start=0)
+
+
+def test_p25_decoder_state_flow():
+    """IDEN_UP then a grant: decoder state drives the traffic manager."""
+    state = P25P1DecoderState()
+    # IDEN_UP: id 2, bw 12.5 kHz, spacing 12.5 kHz, base 851 MHz
+    iden_args = np.concatenate([
+        B.from_int(2, 4), B.from_int(100, 9), B.from_int(0, 9),
+        B.from_int(100, 10), B.from_int(int(851e6 / 5), 32)])
+    msg = decode_frame(_tsbk_frame(0x3D, iden_args))
+    state.receive(msg, now=0.0)
+    assert 2 in state.traffic.bands
+    assert state.state_machine.state == ChannelState.CONTROL
+    # group voice grant on band 2 channel 10
+    grant_args = np.concatenate([
+        B.from_int(0, 8), B.from_int(2, 4), B.from_int(10, 12),
+        B.from_int(777, 16), B.from_int(888, 24)])
+    msg2 = decode_frame(_tsbk_frame(0x00, grant_args))
+    state.receive(msg2, now=0.1)
+    assert len(state.traffic.active) == 1
+    freq = list(state.traffic.active)[0]
+    assert abs(freq - (851e6 + 10 * 12500.0)) < 1.0
+    tc = state.traffic.active[freq]
+    assert tc.identifiers.get(IdentifierForm.TALKGROUP).value == 777
+    assert tc.identifiers.get(IdentifierForm.RADIO).value == 888
