@@ -38,8 +38,7 @@ def main():
     # extract every bin (full occupancy — the hardest realistic load)
     offsets = [(i - m // 2 + 1) * 12500.0 for i in range(m - 1)]
     rx = WidebandReceiver(fs, offsets)
-    step = rx.build()
-    state = rx.init_state()
+    step, state = rx.build_safe()
 
     n = m * chunk_blocks  # samples per step; K per channel = 2*chunk_blocks
     rng = np.random.default_rng(0)

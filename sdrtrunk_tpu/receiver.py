@@ -93,3 +93,13 @@ class WidebandReceiver:
             return outputs, new_state
 
         return run
+
+    def build_safe(self):
+        """TPU-boundary variant: returns (jitted step, packed_state) where
+        carried complex state crosses the jit boundary as float32 (...,2)
+        pairs (see parallel/boundary.py — the axon TPU backend cannot pass
+        complex64 in or out of a compiled function)."""
+        from .parallel.boundary import complex_safe
+        step = self.build()
+        wrapped, packed0 = complex_safe(step, self.init_state())
+        return jax.jit(wrapped), packed0
