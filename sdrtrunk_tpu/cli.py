@@ -1,0 +1,330 @@
+"""Headless CLI (role of the reference's --headless mode, SDRTrunk.java:141
+— the functional surface of L9 without pixels).
+
+Commands:
+  info        <iq.wav>                      band summary + channel occupancy
+  channelize  <iq.wav> [--channels f1,f2]   polyphase channelize, stats/IQ out
+  decode      <iq.wav> --protocol P         single-channel decode -> JSONL
+  replay      <iq.wav> --playlist cfg.json  multi-channel decode via playlist
+  bench       [--small]                     throughput benchmark
+
+All structured output is JSON lines on stdout (SURVEY.md section 5 metrics
+note); audio and bitstream artifacts are written next to the input or to
+--output.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=str), flush=True)
+
+
+def _load_iq(path):
+    from .io.wave import read_complex_wave
+    iq, rate = read_complex_wave(path)
+    return np.asarray(iq), float(rate)
+
+
+# ------------------------------------------------------------------ decode
+
+def _decode_single(iq: np.ndarray, fs: float, protocol: str,
+                   options: dict) -> dict:
+    """Run one protocol chain over complex baseband; returns a result dict
+    with 'messages' (list of dicts) and optional 'audio' (np array, rate)."""
+    import jax.numpy as jnp
+
+    result = {"messages": [], "audio": None, "audio_rate": 8000.0}
+
+    def dibit_chain(decoder_cls, config, framer, describe):
+        dec = decoder_cls(config)
+        out, _ = dec(jnp.asarray(iq), dec.init_state())
+        dibits = np.asarray(out["dibits"])[np.asarray(out["valid"])]
+        for frame in framer.process(dibits):
+            result["messages"].append(describe(frame))
+
+    if protocol == "nbfm" or protocol == "am":
+        from .decoders import AMConfig, AMDecoder, NBFMConfig, NBFMDecoder
+        if protocol == "nbfm":
+            dec = NBFMDecoder(NBFMConfig(
+                sample_rate=fs,
+                bandwidth=options.get("bandwidth", 12500.0),
+                squelch_threshold_db=options.get("squelch_db", -78.0)))
+        else:
+            dec = AMDecoder(AMConfig(sample_rate=fs))
+        out, _ = dec(jnp.asarray(iq), dec.init_state())
+        result["audio"] = np.asarray(out["audio"])
+    elif protocol == "p25p1":
+        from .decoders.c4fm import C4FMConfig, C4FMDecoder
+        from .protocol.p25p1 import P25P1Framer
+        from .protocol.p25p1.messages import decode_frame
+
+        def describe(frame):
+            msg = decode_frame(frame)
+            d = {"protocol": "p25p1", "duid": msg.duid.name,
+                 "nac": msg.nac, "valid": msg.valid,
+                 "bit_errors": msg.bit_errors, "start": msg.start}
+            content = msg.content
+            if content is not None and hasattr(content, "opcode_name"):
+                d["opcode"] = content.opcode_name
+                d.update(getattr(content, "fields", {}) or {})
+            if content is not None and hasattr(content, "link_control") \
+                    and content.link_control is not None:
+                d["lc"] = content.link_control.opcode_name
+                d.update(content.link_control.fields or {})
+            return d
+
+        dibit_chain(C4FMDecoder, C4FMConfig(sample_rate=fs),
+                    P25P1Framer(), describe)
+    elif protocol == "dmr":
+        from .decoders.dmr import DMRConfig, DMRDecoder
+        from .protocol.dmr import DMRFramer
+
+        def describe(frame):
+            d = {"protocol": "dmr", "pattern": frame.pattern.name,
+                 "timeslot": frame.timeslot, "kind": frame.content_kind,
+                 "start": frame.start}
+            c = frame.content
+            if c is not None and hasattr(c, "opcode_name"):
+                d["opcode"] = c.opcode_name
+                d.update(getattr(c, "fields", {}) or {})
+            if c is not None and hasattr(c, "flco_name"):
+                d["flco"] = c.flco_name
+                d.update(getattr(c, "fields", {}) or {})
+            return d
+
+        dibit_chain(DMRDecoder, DMRConfig(sample_rate=fs),
+                    DMRFramer(), describe)
+    elif protocol == "p25p2":
+        from .decoders.p25p2 import P25P2Config, P25P2Decoder
+        from .protocol.p25p2 import P25P2Framer
+
+        framer = P25P2Framer(options.get("wacn", 0),
+                             options.get("system", 0),
+                             options.get("nac", 0))
+
+        def describe(frag):
+            return {"protocol": "p25p2",
+                    "fragment": frag.fragment_number,
+                    "start": frag.start,
+                    "timeslots": [
+                        {"duid": t.duid.name, "index": t.index,
+                         "mac": t.mac_pdu_type.name
+                         if t.mac_pdu_type else None}
+                        for t in frag.timeslots]}
+
+        dibit_chain(P25P2Decoder, P25P2Config(sample_rate=fs),
+                    framer, describe)
+    elif protocol in ("ltr", "passport", "mpt1327"):
+        # FM demod to 8 kHz audio, then the sub-audible/audio FSK layer
+        import jax.numpy as jnp
+        from .decoders import NBFMConfig, NBFMDecoder
+        nbfm = NBFMDecoder(NBFMConfig(sample_rate=fs,
+                                      squelch_threshold_db=-120.0))
+        out, _ = nbfm(jnp.asarray(iq), nbfm.init_state())
+        audio = out["audio"]
+        result["audio"] = np.asarray(audio)
+        if protocol == "mpt1327":
+            from .dsp.afsk import AFSK1200Demodulator
+            from .protocol.mpt1327 import MPT1327Framer
+            n = (audio.shape[0] // 10) * 10
+            demod = AFSK1200Demodulator()
+            bits, valid, _ = demod(audio[:n])
+            rx = np.asarray(bits)[np.asarray(valid)]
+            for m in MPT1327Framer("control").process(rx):
+                result["messages"].append(
+                    {"protocol": "mpt1327",
+                     "type": m.message_type.value, "start": m.start,
+                     **m.fields})
+        else:
+            from .decoders.ltr import LTRDecoder
+            dec = LTRDecoder()
+            o2, _ = dec(audio, dec.init_state())
+            rx = np.asarray(o2["bits"])[np.asarray(o2["valid"])]
+            if protocol == "ltr":
+                from .protocol.ltr import LTRFramer
+                for m in LTRFramer("OSW").process(rx):
+                    result["messages"].append(
+                        {"protocol": "ltr",
+                         "type": m.message_type.value, "area": m.area,
+                         "channel": m.channel, "home": m.home,
+                         "group": m.group, "free": m.free,
+                         "start": m.start})
+            else:
+                from .protocol.passport import PassportFramer
+                for m in PassportFramer().process(rx):
+                    result["messages"].append(
+                        {"protocol": "passport",
+                         "type": m.message_type.value, "lcn": m.lcn,
+                         "site": m.site, "group": m.group,
+                         "start": m.start})
+    else:
+        raise ValueError(f"unknown protocol {protocol}")
+    return result
+
+
+# ------------------------------------------------------------------ cmds
+
+def cmd_info(args) -> int:
+    from .dsp.spectrum import SpectrumConfig, channel_power_map
+    import jax.numpy as jnp
+    iq, fs = _load_iq(args.input)
+    centers, power = channel_power_map(
+        jnp.asarray(iq[: min(len(iq), 1 << 20)]), fs,
+        channel_bandwidth=args.bandwidth)
+    _emit({"file": str(args.input), "sample_rate": fs,
+           "samples": len(iq), "duration_s": len(iq) / fs})
+    for c, p in zip(centers.tolist(), power.tolist()):
+        _emit({"offset_hz": round(c, 1), "power_db": round(p, 1)})
+    return 0
+
+
+def cmd_channelize(args) -> int:
+    import jax.numpy as jnp
+    from .dsp.channelizer import Channelizer
+    from .dsp.extract import extract_channels, plan_channels
+    iq, fs = _load_iq(args.input)
+    ch = Channelizer.design(fs, args.bandwidth)
+    n = (len(iq) // ch.channels) * ch.channels
+    y, _ = ch(jnp.asarray(iq[:n]))
+    _emit({"channels": ch.channels, "channel_rate": ch.channel_sample_rate,
+           "blocks": int(y.shape[0])})
+    if args.channels:
+        offsets = [float(f) for f in args.channels.split(",")]
+        streams, _ = extract_channels(y, plan_channels(ch, offsets))
+        streams = np.asarray(streams)
+        from .io.wave import write_complex_wave
+        outdir = Path(args.output or ".")
+        for off, stream in zip(offsets, streams):
+            path = outdir / f"channel_{int(off)}.wav"
+            write_complex_wave(path, stream,
+                               int(ch.channel_sample_rate))
+            _emit({"offset_hz": off, "wrote": str(path),
+                   "samples": int(stream.shape[0])})
+    else:
+        power = 10.0 * np.log10(
+            np.mean(np.abs(np.asarray(y)) ** 2, axis=0) + 1e-20)
+        for m in range(ch.channels):
+            _emit({"bin": m,
+                   "offset_hz": ch.center_frequency(m),
+                   "power_db": round(float(power[m]), 1)})
+    return 0
+
+
+def cmd_decode(args) -> int:
+    import jax.numpy as jnp
+    iq, fs = _load_iq(args.input)
+    if args.offset:
+        n = np.arange(len(iq))
+        iq = (iq * np.exp(-2j * np.pi * args.offset * n / fs)
+              ).astype(np.complex64)
+    options = {"bandwidth": args.bandwidth, "squelch_db": args.squelch_db,
+               "wacn": args.wacn, "system": args.system, "nac": args.nac}
+    result = _decode_single(iq, fs, args.protocol, options)
+    for msg in result["messages"]:
+        _emit(msg)
+    _emit({"summary": True, "protocol": args.protocol,
+           "messages": len(result["messages"])})
+    if args.audio and result["audio"] is not None:
+        from .io.wave import write_real_wave
+        write_real_wave(args.audio, result["audio"],
+                        int(result["audio_rate"]))
+        _emit({"wrote_audio": args.audio,
+               "samples": int(len(result["audio"]))})
+    return 0
+
+
+def cmd_replay(args) -> int:
+    """Decode every enabled playlist channel from a wideband capture."""
+    import jax.numpy as jnp
+    from .config import Playlist
+    from .dsp.channelizer import Channelizer
+    from .dsp.extract import extract_channels, plan_channels
+    playlist = Playlist.load(args.playlist)
+    iq, fs = _load_iq(args.input)
+    center = args.center_frequency
+    ch = Channelizer.design(fs, args.bandwidth)
+    n = (len(iq) // ch.channels) * ch.channels
+    y, _ = ch(jnp.asarray(iq[:n]))
+    enabled = [c for c in playlist.channels if c.enabled]
+    offsets = [c.source.frequency_hz - center for c in enabled]
+    streams, _ = extract_channels(y, plan_channels(ch, offsets))
+    streams = np.asarray(streams)
+    total = 0
+    for cfg, stream in zip(enabled, streams):
+        result = _decode_single(stream, ch.channel_sample_rate,
+                                cfg.decode.decoder, {})
+        for msg in result["messages"]:
+            msg["channel"] = cfg.name
+            _emit(msg)
+            total += 1
+    _emit({"summary": True, "channels": len(enabled), "messages": total})
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+    sys.argv = ["bench.py"] + (["--small"] if args.small else [])
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="sdrtrunk_tpu",
+        description="TPU-native trunked-radio decoder (headless)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("info", help="band summary from an IQ wave")
+    p.add_argument("input")
+    p.add_argument("--bandwidth", type=float, default=12500.0)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("channelize", help="polyphase channelize an IQ wave")
+    p.add_argument("input")
+    p.add_argument("--bandwidth", type=float, default=12500.0)
+    p.add_argument("--channels", help="comma-separated offsets (Hz) to "
+                                      "extract as per-channel IQ wavs")
+    p.add_argument("--output", help="output directory")
+    p.set_defaults(fn=cmd_channelize)
+
+    p = sub.add_parser("decode", help="decode one channel from an IQ wave")
+    p.add_argument("input")
+    p.add_argument("--protocol", required=True,
+                   choices=["nbfm", "am", "p25p1", "p25p2", "dmr", "ltr",
+                            "passport", "mpt1327"])
+    p.add_argument("--offset", type=float, default=0.0,
+                   help="channel offset from capture center (Hz)")
+    p.add_argument("--bandwidth", type=float, default=12500.0)
+    p.add_argument("--squelch-db", type=float, default=-78.0)
+    p.add_argument("--audio", help="write demodulated audio WAV here")
+    p.add_argument("--wacn", type=int, default=0)
+    p.add_argument("--system", type=int, default=0)
+    p.add_argument("--nac", type=int, default=0)
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("replay", help="decode playlist channels from a "
+                                      "wideband capture")
+    p.add_argument("input")
+    p.add_argument("--playlist", required=True)
+    p.add_argument("--center-frequency", type=float, default=0.0)
+    p.add_argument("--bandwidth", type=float, default=12500.0)
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("--small", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,15 +16,24 @@ __all__ = ["single_pole", "single_pole_apply", "dc_removal", "deemphasis_alpha",
 
 
 def _linrec(a: jnp.ndarray, b: jnp.ndarray, y0) -> jnp.ndarray:
-    """Solve y[t] = a[t]*y[t-1] + b[t] with y[-1]=y0 via associative_scan."""
+    """Solve y[t] = a[t]*y[t-1] + b[t] with y[-1]=y0.
 
-    def combine(lhs, rhs):
-        a1, b1 = lhs
-        a2, b2 = rhs
-        return a1 * a2, a2 * b1 + b2
+    Implemented as a lax.scan (one tiny While-loop body) rather than an
+    associative scan: the log-depth slice/concat ladder the associative
+    form unrolls into made whole-chain XLA TPU compiles pathologically
+    slow (hours for the NBFM chain on the tunneled backend), while the
+    scan compiles in seconds. Throughput is unaffected in practice —
+    these IIRs run vmapped across >=hundreds of channels, so the scan
+    body is VPU-wide.
+    """
 
-    aa, bb = jax.lax.associative_scan(combine, (a, b))
-    return aa * y0 + bb
+    def step(y, ab):
+        at, bt = ab
+        y2 = at * y + bt
+        return y2, y2
+
+    _, ys = jax.lax.scan(step, jnp.asarray(y0, b.dtype), (a, b))
+    return ys
 
 
 def single_pole(x: jnp.ndarray, alpha: float, y0=0.0) -> jnp.ndarray:
