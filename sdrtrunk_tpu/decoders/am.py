@@ -8,6 +8,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..dsp import demod, design, fir, iir
 
@@ -28,12 +29,12 @@ class AMDecoder:
         self.config = config
         fs = config.sample_rate
         half_bw = config.bandwidth / 2.0
-        self.baseband_taps = jnp.asarray(
+        self.baseband_taps = np.asarray(
             design.remez_lowpass(63, half_bw, half_bw + 2000.0, fs), jnp.float32)
         from fractions import Fraction
         frac = Fraction(int(config.audio_rate), int(fs))
         self.up, self.down = frac.numerator, frac.denominator
-        self.resampler_taps = jnp.asarray(
+        self.resampler_taps = np.asarray(
             fir.resample_taps(self.up, self.down), jnp.float32)
         self._tpp = len(self.resampler_taps) // self.up
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..dsp import agc, demod, design, fir
 from ..dsp.psk import DQPSKDemodulator, DQPSKState
@@ -33,7 +34,7 @@ class C4FMConfig:
 class C4FMDecoder:
     def __init__(self, config: C4FMConfig = C4FMConfig()):
         self.config = config
-        self.baseband_taps = jnp.asarray(
+        self.baseband_taps = np.asarray(
             design.remez_lowpass(63, config.pass_hz, config.stop_hz,
                                  config.sample_rate, 0.01, 0.01), jnp.float32)
         self.demod = DQPSKDemodulator(

@@ -9,6 +9,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..dsp import agc, demod, design, fir
 from ..dsp.psk import DQPSKDemodulator
@@ -28,7 +29,7 @@ class DMRConfig:
 class DMRDecoder:
     def __init__(self, config: DMRConfig = DMRConfig()):
         self.config = config
-        self.baseband_taps = jnp.asarray(
+        self.baseband_taps = np.asarray(
             design.remez_lowpass(63, config.pass_hz, config.stop_hz,
                                  config.sample_rate, 0.01, 0.01), jnp.float32)
         self.demod = DQPSKDemodulator(

@@ -45,14 +45,14 @@ class NBFMDecoder:
         # the reference's bandwidth-derived filter, NBFMDecoder.java:305-337).
         pass_hz = config.bandwidth * 0.40
         stop_hz = config.bandwidth * 0.56
-        self.baseband_taps = jnp.asarray(
+        self.baseband_taps = np.asarray(
             design.remez_lowpass(63, pass_hz, stop_hz, fs), jnp.float32)
         self.fm_gain = demod.fm_gain(fs, config.bandwidth / 2.0)
         # audio resampler fs -> 8 kHz
         from fractions import Fraction
         frac = Fraction(int(config.audio_rate), int(fs))
         self.up, self.down = frac.numerator, frac.denominator
-        self.resampler_taps = jnp.asarray(
+        self.resampler_taps = np.asarray(
             fir.resample_taps(self.up, self.down), jnp.float32)
         self._tpp = len(self.resampler_taps) // self.up
 

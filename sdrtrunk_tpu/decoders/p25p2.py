@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..dsp import agc, demod, design, fir
 from ..dsp.psk import DQPSKDemodulator
@@ -30,7 +31,7 @@ class P25P2Config:
 class P25P2Decoder:
     def __init__(self, config: P25P2Config = P25P2Config()):
         self.config = config
-        self.baseband_taps = jnp.asarray(
+        self.baseband_taps = np.asarray(
             design.remez_lowpass(63, config.pass_hz, config.stop_hz,
                                  config.sample_rate, 0.005, 0.005),
             jnp.float32)

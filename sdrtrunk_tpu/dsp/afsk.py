@@ -49,7 +49,7 @@ class AFSK1200Demodulator:
         if self.input_rate != 8000.0:
             raise ValueError("AFSK1200 expects 8 kHz input audio")
         self.up, self.down = 9, 10  # 8000 -> 7200
-        self.rtaps = jnp.asarray(fir.resample_taps(self.up, self.down),
+        self.rtaps = np.asarray(fir.resample_taps(self.up, self.down),
                                  jnp.float32)
         n = np.arange(CORRELATION_PERIOD)
         window = np.ones(CORRELATION_PERIOD)
@@ -61,7 +61,7 @@ class AFSK1200Demodulator:
             return c, s
         self.mark_taps = tone_taps(MARK_HZ)
         self.space_taps = tone_taps(SPACE_HZ)
-        self.avg_taps = jnp.asarray(avg, jnp.float32)
+        self.avg_taps = np.asarray(avg, np.float32)
         # symbol-recovery geometry at 6 sps
         self.window_len = 2 * SPS
         self.int_sps = SPS

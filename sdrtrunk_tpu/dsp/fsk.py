@@ -49,7 +49,7 @@ class LTRFSKDemodulator:
         self.half_sps = int(self.sps / 2.0 + 0.5)
         self.zc_len = int(math.ceil(self.sps))
         self.zc_ideal = self.sps / 2.0
-        self.taps = jnp.asarray(
+        self.taps = np.asarray(
             design.remez_lowpass(63, 300.0, 500.0, self.sample_rate,
                                  0.01, 0.03), jnp.float32)
 

@@ -84,7 +84,7 @@ class DQPSKDemodulator:
         self.alpha, self.beta = costas_gains(self.loop_bandwidth)
         self.max_pll_freq = TWO_PI * (self.symbol_rate / 2.0) / self.sample_rate
         self.dsps_gain = 0.1 * self.sample_counter_gain ** 2
-        self.bank = jnp.asarray(interpolator_bank())
+        self.bank = np.asarray(interpolator_bank())
 
     def init_state(self) -> DQPSKState:
         sps = self.samples_per_symbol
@@ -116,7 +116,7 @@ class DQPSKDemodulator:
         # --- interpolate current sample at mu = sampling_point ---
         mu = jnp.clip(sampling_point, 0.0, 1.0)
         idx = jnp.clip((NSTEPS * mu).astype(jnp.int32), 0, NSTEPS)
-        taps = self.bank[idx]                       # (8,)
+        taps = jnp.asarray(self.bank)[idx]          # (8,)
         w8 = jax.lax.dynamic_slice_in_dim(window, 0, 8)
         current = jnp.sum(taps * w8.real) + 1j * jnp.sum(taps * w8.imag)
         current = current.astype(jnp.complex64)

@@ -60,10 +60,13 @@ class WidebandReceiver:
     def build(self):
         ch = self.channelizer
         m = ch.channels
-        hmat = jnp.asarray(ch.hmat)
-        bins = jnp.asarray(self.plan.bins)
-        step_rad = jnp.asarray(
-            2.0 * np.pi * self.plan.offsets / self.plan.rate, jnp.float32)
+        # Closure constants stay host-side NumPy: a device array captured as
+        # a jit constant forces a device->host copy at lowering, which the
+        # axon TPU backend cannot do.
+        hmat = np.asarray(ch.hmat)
+        bins = np.asarray(self.plan.bins)
+        step_rad = np.asarray(
+            2.0 * np.pi * self.plan.offsets / self.plan.rate, np.float32)
         vdecode = self._vdecode
 
         from .dsp.channelizer import _channelize_core
