@@ -13,6 +13,7 @@ __all__ = [
     "tone", "sweep", "awgn", "nbfm_modulate", "fm_modulate",
     "c4fm_modulate", "dibits_to_symbols", "random_dibits",
     "raised_cosine", "root_raised_cosine", "lsm_modulate",
+    "afsk1200_modulate",
 ]
 
 TWO_PI = 2.0 * np.pi
@@ -251,3 +252,23 @@ def lsm_modulate(dibits: np.ndarray, sample_rate: float,
     x = _shape_pulse_train(symbols, sps, n, span_symbols, alpha, pulse_fn=rrc)
     peak = np.max(np.abs(x))
     return (amplitude * x / peak).astype(np.complex64)
+
+
+def afsk1200_modulate(bits: np.ndarray, sample_rate: float = 8000.0,
+                      baud: float = 1200.0, mark_hz: float = 1200.0,
+                      space_hz: float = 1800.0,
+                      amplitude: float = 0.5) -> np.ndarray:
+    """Phase-continuous audio FSK: bit 1 -> mark tone, 0 -> space tone.
+
+    Test-vector source for the AFSK protocols (MPT1327, Fleetsync II,
+    MDC-1200, LJ-1200, Tait 1200); the reference has no modulators, so
+    closed-loop tests synthesize their own (SURVEY.md section 4).
+    """
+    bits = np.asarray(bits)
+    sps = sample_rate / baud
+    n = int(np.ceil(len(bits) * sps))
+    t = np.arange(n)
+    sym = np.minimum((t / sps).astype(np.int64), len(bits) - 1)
+    freq = np.where(bits[sym] == 1, mark_hz, space_hz)
+    phase = TWO_PI * np.cumsum(freq) / sample_rate
+    return (amplitude * np.sin(phase)).astype(np.float32)
