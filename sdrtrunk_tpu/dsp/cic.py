@@ -5,8 +5,9 @@ TPU-native equivalent of the reference's alternate channel-provisioning path
 dsp/filter/cic/ComplexPrimeCICDecimate.java:49,
 source/tuner/manager/HeterodyneChannelSourceManager.java:45): oscillator mix
 to baseband, cascade of order-1 prime-factor CIC (boxcar-average) decimating
-stages, then a Remez low-pass cleanup filter
-(dsp/filter/FilterFactory.getCICCleanupFilter:511).
+stages, then a Remez low-pass cleanup filter (as in the reference's runtime
+path, ComplexPrimeCICDecimate.Output.getLowPassFilter — a plain low-pass,
+no CIC droop compensation).
 
 Each order-1 CIC stage of factor p is a length-p moving average followed by
 decimate-by-p; on dense arrays that's a reshape + mean along the new axis —
@@ -26,24 +27,22 @@ from .oscillator import mix_down
 
 __all__ = ["prime_factors", "cic_decimate", "CICChannel"]
 
-_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
-
-
 def prime_factors(decimation: int) -> list[int]:
     """Prime-factor stage sizes, largest first (ComplexPrimeCICDecimate
-    getPrimeFactors; max supported factor bounded like the reference's
-    2801 table — anything beyond the table raises)."""
+    getPrimeFactors delegates to commons-math Primes.primeFactors, which is
+    unbounded — so factor by trial division, no fixed table)."""
     if decimation < 1:
         raise ValueError("decimation must be >= 1")
     factors = []
     rem = decimation
-    for p in _PRIMES:
+    p = 2
+    while p * p <= rem:
         while rem % p == 0:
             factors.append(p)
             rem //= p
-    if rem != 1:
-        raise ValueError(f"decimation {decimation} has prime factor {rem} "
-                         f"beyond the supported table")
+        p += 1 if p == 2 else 2
+    if rem > 1:
+        factors.append(rem)
     return sorted(factors, reverse=True)
 
 

@@ -216,7 +216,9 @@ def real_to_complex(x: jnp.ndarray, half_band: np.ndarray,
     if state is None:
         state = jnp.zeros((n_hist,), x.dtype)
     xp = jnp.concatenate([state, x])
-    # convolution: y_q[i] = sum_k q[k] * xp[i + (L-1) - k]
+    # correlation: y_q[i] = sum_k q[k] * xp[i + k]  (convolve with reversed
+    # taps); q is antisymmetric, and hilbert_taps' sign convention matches
+    # this correlation form — change both together if either changes
     qt = jnp.asarray(q[::-1].copy())
     yq = jnp.convolve(xp, qt, mode="valid")
     yi = gain * xp[n_hist - c: n_hist - c + x.shape[0]]

@@ -27,7 +27,10 @@ def interleave_to_complex(floats: np.ndarray) -> np.ndarray:
     """i0,q0,i1,q1,... float stream -> complex64 array."""
     floats = np.asarray(floats, dtype=np.float32)
     if floats.size % 2:
-        floats = floats[:-1]
+        raise ValueError(
+            "interleave_to_complex needs an even-length I/Q stream; got "
+            f"{floats.size} floats — split raw buffers on sample boundaries "
+            "(carry the odd trailing float to the next chunk)")
     return (floats[0::2] + 1j * floats[1::2]).astype(np.complex64)
 
 

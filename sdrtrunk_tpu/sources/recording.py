@@ -42,9 +42,25 @@ class RecordingTuner(TunerController):
             if not self.loop:
                 return None
             self._pos = 0
-        chunk = self._iq[self._pos: self._pos + num_samples]
-        self._pos += len(chunk)
-        return chunk
+        if not self.loop:
+            chunk = self._iq[self._pos: self._pos + num_samples]
+            self._pos += len(chunk)
+            return chunk
+        # loop mode: always return exactly num_samples, wrapping across EOF
+        # so fixed-block consumers (JIT pipelines) see constant chunk sizes
+        pieces = []
+        need = num_samples
+        while need > 0:
+            take = self._iq[self._pos: self._pos + need]
+            if len(take) == 0:
+                self._pos = 0
+                continue
+            pieces.append(take)
+            self._pos += len(take)
+            need -= len(take)
+            if self._pos >= len(self._iq):
+                self._pos = 0
+        return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
 
 
 class ComplexWaveSource:

@@ -58,7 +58,7 @@ class SourceEvent:
 class TunerSpec:
     """Static capabilities of a tuner class.
 
-    half_usable: usable fraction of the sample rate on each side of center
+    usable_fraction: total usable fraction of the sample rate, centered
     (TunerController's usable-bandwidth accounting; e.g. RTL ~0.95 total).
     dc_spike_hz: half-width of the unusable center region.
     """

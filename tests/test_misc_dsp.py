@@ -87,8 +87,11 @@ def test_hilbert_produces_analytic_signal():
 def test_prime_factors():
     assert prime_factors(96) == [3, 2, 2, 2, 2, 2]
     assert prime_factors(1) == []
+    # unbounded like commons-math Primes.primeFactors (no fixed table)
+    assert prime_factors(53) == [53]
+    assert prime_factors(2801 * 53 * 59) == [2801, 59, 53]
     with pytest.raises(ValueError):
-        prime_factors(2801 * 53 * 59)  # 53 beyond table
+        prime_factors(0)
 
 
 def test_cic_decimate_preserves_dc():
