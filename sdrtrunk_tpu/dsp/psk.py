@@ -75,6 +75,7 @@ class DQPSKDemodulator:
     sample_counter_gain: float = 0.3
     loop_bandwidth: float = 300.0
     max_deviation: float = 0.02   # +/-2% samples-per-symbol tracking
+    unroll: int = 8               # lax.scan unroll: amortizes loop overhead
 
     def __post_init__(self):
         self.samples_per_symbol = self.sample_rate / self.symbol_rate
@@ -117,7 +118,7 @@ class DQPSKDemodulator:
         mu = jnp.clip(sampling_point, 0.0, 1.0)
         idx = jnp.clip((NSTEPS * mu).astype(jnp.int32), 0, NSTEPS)
         taps = jnp.asarray(self.bank)[idx]          # (8,)
-        w8 = jax.lax.dynamic_slice_in_dim(window, 0, 8)
+        w8 = window[:8]
         current = jnp.sum(taps * w8.real) + 1j * jnp.sum(taps * w8.imag)
         current = current.astype(jnp.complex64)
         preceding = window[CENTER]
@@ -187,5 +188,6 @@ class DQPSKDemodulator:
         """
         if state is None:
             state = self.init_state()
-        state, (dibits, valid) = jax.lax.scan(self._step, state, x)
+        state, (dibits, valid) = jax.lax.scan(self._step, state, x,
+                                              unroll=self.unroll)
         return dibits, valid, state

@@ -50,18 +50,30 @@ def unpack_tree(tree, flags):
     return jax.tree.map(unpack_array, tree, flags)
 
 
-def complex_safe(step_fn, example_state):
+def complex_safe(step_fn, init_state):
     """Wrap step(x, state)->(outputs, state) so state crosses jit
     boundaries as float pairs. Returns (wrapped_fn, packed_init_state).
 
-    `example_state` provides the complex-leaf layout; outputs are packed
-    too (real outputs pass through unchanged).
+    `init_state` is either a zero-argument callable building the state, or
+    a concrete example state. Pass the CALLABLE on the tunneled TPU
+    backend: complex64 arrays must never be materialised eagerly there —
+    an eager `jnp.zeros(..., complex64)` silently poisons every downstream
+    computation (execution faults are swallowed; transfers hang), so the
+    initial state is built INSIDE one jitted call that returns only float
+    pairs. A concrete state is accepted for CPU tests/back-compat.
     """
-    flags = complex_flags(example_state)
+    if callable(init_state):
+        shapes = jax.eval_shape(init_state)
+        flags = jax.tree.map(lambda a: jnp.issubdtype(a.dtype, jnp.complexfloating),
+                             shapes)
+        packed0 = jax.jit(lambda: pack_tree(init_state()))()
+    else:
+        flags = complex_flags(init_state)
+        packed0 = pack_tree(init_state)
 
     def wrapped(x, packed_state):
         state = unpack_tree(packed_state, flags)
         outputs, new_state = step_fn(x, state)
         return jax.tree.map(pack_array, outputs), pack_tree(new_state)
 
-    return wrapped, pack_tree(example_state)
+    return wrapped, packed0

@@ -1,7 +1,8 @@
 """WidebandReceiver: the flagship single-chip pipeline.
 
 Wideband IQ -> polyphase channelize (all M bins) -> extract C channels ->
-vmapped NBFM demod -> audio + squelch gates, one fused jitted graph.
+vmapped per-channel decoder (NBFM audio, or C4FM/DMR/P25P2 DQPSK symbol
+recovery to dibits), one fused jitted graph.
 
 This is the TPU equivalent of a whole rack of the reference's per-channel
 ProcessingChains (controller/channel/ChannelProcessingManager.java:290): the
@@ -17,15 +18,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decoders.nbfm import NBFMConfig, NBFMDecoder
 from .dsp.channelizer import Channelizer
 from .dsp.extract import ChannelPlan, plan_channels
 
-__all__ = ["WidebandReceiver"]
+__all__ = ["WidebandReceiver", "make_channel_decoder"]
+
+
+def make_channel_decoder(kind: str, sample_rate: float,
+                         channel_bandwidth: float = 12500.0):
+    """Per-channel decoder for a channelizer output stream (the role of
+    DecoderFactory.getModules' primary-decoder dispatch,
+    module/decode/DecoderFactory.java:117-183)."""
+    if kind == "nbfm":
+        from .decoders.nbfm import NBFMConfig, NBFMDecoder
+        return NBFMDecoder(NBFMConfig(sample_rate=sample_rate,
+                                      bandwidth=channel_bandwidth))
+    if kind == "am":
+        from .decoders.am import AMConfig, AMDecoder
+        return AMDecoder(AMConfig(sample_rate=sample_rate))
+    if kind in ("c4fm", "p25p1"):
+        from .decoders.c4fm import C4FMConfig, C4FMDecoder
+        return C4FMDecoder(C4FMConfig(sample_rate=sample_rate))
+    if kind == "dmr":
+        from .decoders.dmr import DMRConfig, DMRDecoder
+        return DMRDecoder(DMRConfig(sample_rate=sample_rate))
+    if kind == "p25p2":
+        from .decoders.p25p2 import P25P2Config, P25P2Decoder
+        return P25P2Decoder(P25P2Config(sample_rate=sample_rate))
+    raise ValueError(f"unknown decoder kind {kind!r}")
 
 
 class WidebandReceiver:
-    """Channelize + demodulate C NBFM channels from wideband IQ.
+    """Channelize + demodulate C channels from wideband IQ.
+
+    decoder: "nbfm" (audio out) or "c4fm"/"dmr"/"p25p2" (dibits out), or
+    any object with init_state()/__call__(x, state)->(outputs, state).
 
     Usage:
         rx = WidebandReceiver(sample_rate=12_800_000, channel_offsets=[...])
@@ -34,13 +61,16 @@ class WidebandReceiver:
     """
 
     def __init__(self, sample_rate: float, channel_offsets,
-                 channel_bandwidth: float = 12500.0, taps_per_channel: int = 9):
+                 channel_bandwidth: float = 12500.0, taps_per_channel: int = 9,
+                 decoder: str = "nbfm"):
         self.channelizer = Channelizer.design(
             sample_rate, channel_bandwidth, taps_per_channel)
         self.plan = plan_channels(self.channelizer, channel_offsets)
-        self.decoder = NBFMDecoder(NBFMConfig(
-            sample_rate=self.channelizer.channel_sample_rate,
-            bandwidth=channel_bandwidth))
+        if isinstance(decoder, str):
+            decoder = make_channel_decoder(
+                decoder, self.channelizer.channel_sample_rate,
+                channel_bandwidth)
+        self.decoder = decoder
         self._vdecode = jax.vmap(self.decoder.__call__)
 
     @property
@@ -101,8 +131,10 @@ class WidebandReceiver:
         """TPU-boundary variant: returns (jitted step, packed_state) where
         carried complex state crosses the jit boundary as float32 (...,2)
         pairs (see parallel/boundary.py — the axon TPU backend cannot pass
-        complex64 in or out of a compiled function)."""
+        complex64 in or out of a compiled function, and complex arrays
+        must never be created eagerly, so the init state is built inside
+        a jitted call)."""
         from .parallel.boundary import complex_safe
         step = self.build()
-        wrapped, packed0 = complex_safe(step, self.init_state())
+        wrapped, packed0 = complex_safe(step, self.init_state)
         return jax.jit(wrapped), packed0
