@@ -32,6 +32,7 @@ SYNC_DIBITS = 24
 NID_DIBITS = 32
 HEADER_DIBITS = 57  # sync + NID + 1 embedded status dibit
 MAX_SYNC_BIT_ERRORS = 9
+MAX_PDU_BLOCKS = 32  # supported blocks_to_follow (framer carry bound)
 
 # dibit remaps for PLL quadrant slips: received -> corrected
 _ROTATION_REMAPS = {
@@ -68,8 +69,10 @@ class P25P1Framer:
         self._carry_offset = 0  # absolute dibit index of carry[0]
         self._sync_bits = {
             name: from_int(val, 48) for name, val in SYNC_PATTERNS.items()}
-        # longest frame: LDU payload 784 dibits + statuses
-        self._max_span = HEADER_DIBITS + 784 + 24
+        # longest frame: a PDU header + up to MAX_PDU_BLOCKS data blocks
+        # (each 98 dibits + statuses); LDU (784+24) is smaller
+        self._max_span = HEADER_DIBITS + \
+            int(payload_dibit_positions(98 * (1 + MAX_PDU_BLOCKS))[-1]) + 2
 
     def process(self, dibits: np.ndarray) -> list[P25P1Frame]:
         stream = np.concatenate(
@@ -103,19 +106,23 @@ class P25P1Framer:
                                         int(best[lag]), base)
                 if frame is not None:
                     frames.append(frame)
-                    consumed = s + HEADER_DIBITS + self._payload_span(
-                        frame.duid)
+                    n_dib = len(frame.payload) // 2
+                    span = (int(payload_dibit_positions(n_dib)[-1]) + 1
+                            - HEADER_DIBITS) if n_dib else 0
+                    consumed = s + HEADER_DIBITS + span
         # retain tail for next block
         keep_from = max(consumed, len(stream) - self._max_span)
         self._carry = stream[keep_from:]
         self._carry_offset = base + keep_from
         return frames
 
-    @staticmethod
-    def _payload_span(duid: DUID) -> int:
-        n_payload = MESSAGE_LENGTHS[duid] // 2
-        pos = payload_dibit_positions(n_payload)
-        return int(pos[-1]) - HEADER_DIBITS + 1 if n_payload else 0
+    def _chunk_bits(self, stream, s, remap, n_chunks):
+        """Extract n_chunks consecutive 196-bit (98-dibit) chunks of
+        status-stripped payload, or None if the stream ends first."""
+        pos = s + payload_dibit_positions(98 * n_chunks)
+        if pos[-1] >= len(stream):
+            return None
+        return dibits_to_bits(remap[stream[pos]])
 
     def _try_frame(self, stream, s, remap, rotation, sync_errors, base):
         nid_dibits = np.concatenate(
@@ -130,16 +137,51 @@ class P25P1Framer:
             return None
         if duid not in MESSAGE_LENGTHS:
             return None
-        n_payload_dibits = MESSAGE_LENGTHS[duid] // 2
-        pos = s + payload_dibit_positions(n_payload_dibits)
-        if len(pos) and pos[-1] >= len(stream):
-            return None  # incomplete; wait for more data (carry keeps it)
-        payload = dibits_to_bits(remap[stream[pos]]) if len(pos) else \
-            np.zeros(0, np.uint8)
+        if duid == DUID.TSBK:
+            payload = self._assemble_tsbk(stream, s, remap)
+        elif duid == DUID.PDU:
+            payload = self._assemble_pdu(stream, s, remap)
+        else:
+            n_payload_dibits = MESSAGE_LENGTHS[duid] // 2
+            pos = s + payload_dibit_positions(n_payload_dibits)
+            if len(pos) and pos[-1] >= len(stream):
+                return None  # incomplete; carry keeps it for next block
+            payload = dibits_to_bits(remap[stream[pos]]) if len(pos) \
+                else np.zeros(0, np.uint8)
+        if payload is None:
+            return None
         return P25P1Frame(nac=nid.nac, duid=duid, payload=payload,
                          start=base + s,
                          bit_errors=sync_errors + nid.corrected,
                          rotation=rotation)
+
+    def _assemble_tsbk(self, stream, s, remap):
+        """TSBK frames carry 1-3 trellis blocks; the last-block flag of
+        each decoded block says whether another follows
+        (P25P1MessageFramer TSBK assembly)."""
+        from .tsbk import tsbk_decode
+        for n in range(1, 4):
+            bits = self._chunk_bits(stream, s, remap, n)
+            if bits is None:
+                return None
+            t = tsbk_decode(bits[-196:])
+            if t is None or t.last_block or n == 3:
+                return bits
+
+    def _assemble_pdu(self, stream, s, remap):
+        """PDU frames: 196-bit header names blocks_to_follow more chunks
+        (pdu/PDUMessageFactory.java createPacketSequence)."""
+        from .pdu import pdu_decode_header
+        head = self._chunk_bits(stream, s, remap, 1)
+        if head is None:
+            return None
+        header = pdu_decode_header(head)
+        if header is None:
+            return None
+        n_blocks = min(header.blocks_to_follow, MAX_PDU_BLOCKS)
+        if n_blocks == 0:
+            return head
+        return self._chunk_bits(stream, s, remap, 1 + n_blocks)
 
 
 class P25P1FrameAssembler:
@@ -159,7 +201,12 @@ class P25P1FrameAssembler:
     def assemble(self, duid: DUID, payload_bits: np.ndarray) -> np.ndarray:
         expected = MESSAGE_LENGTHS[duid]
         payload_bits = np.asarray(payload_bits, np.uint8)
-        if len(payload_bits) != expected:
+        if duid in (DUID.TSBK, DUID.PDU):
+            # multi-block frames: any multiple of 196 bits
+            if len(payload_bits) % 196:
+                raise ValueError(
+                    f"{duid.name} payload must be a multiple of 196 bits")
+        elif len(payload_bits) != expected:
             raise ValueError(
                 f"{duid.name} payload must be {expected} bits, "
                 f"got {len(payload_bits)}")
