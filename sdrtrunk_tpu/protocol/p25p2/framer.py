@@ -105,6 +105,7 @@ class P25P2Framer:
             if isch is not None:
                 ts_base = isch.timeslot_offset
                 break
+        from .mac import parse_mac_pdu
         timeslots = []
         for unit, (isch_off, ts_off) in enumerate(_TS_OFFSETS):
             index = ts_base + unit
@@ -113,6 +114,8 @@ class P25P2Framer:
             ts = timeslot_decode(f[ts_off: ts_off + 320], index, channel,
                                  seg)
             if ts is not None:
+                if ts.mac_octets is not None:
+                    ts.mac = parse_mac_pdu(ts.mac_octets)
                 timeslots.append(ts)
         return P25P2Fragment(start=base + start // 2, isch0=isch0,
                              isch1=isch1, timeslots=timeslots,

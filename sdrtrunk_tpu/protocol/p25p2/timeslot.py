@@ -117,6 +117,7 @@ class Timeslot:
     bits: np.ndarray                # descrambled 320 bits
     mac_pdu_type: MacPduType | None = None
     mac_octets: np.ndarray | None = None
+    mac: object | None = None          # MacPdu once parsed (see mac.py)
     voice_frames: np.ndarray | None = None
     ess_b: np.ndarray | None = None
     rs_errors: int | None = None
