@@ -17,11 +17,15 @@ __all__ = ["P25P1DecoderState"]
 
 
 class P25P1DecoderState:
-    def __init__(self, traffic: TrafficChannelManager | None = None):
+    def __init__(self, traffic: TrafficChannelManager | None = None,
+                 audio=None):
+        """audio: optional MBEAudioModule receiving LDU voice frames
+        (the P25P1AudioModule wiring of DecoderFactory.java:185-232)."""
         self.state_machine = StateMachine()
         self.identifiers = IdentifierCollection()
         self.history = DecodeEventHistory()
         self.traffic = traffic or TrafficChannelManager("APCO25")
+        self.audio = audio
         self.current_call: DecodeEvent | None = None
 
     def receive(self, message: P25P1Message, now: float) -> None:
@@ -90,6 +94,7 @@ class P25P1DecoderState:
         if self.current_call is not None:
             self.current_call.identifiers.update_all(self.identifiers.all())
             self.current_call.update(now)
+        self._voice(message, now)
 
     def _ldu2(self, message: P25P1Message, now: float) -> None:
         l2 = message.content
@@ -99,11 +104,22 @@ class P25P1DecoderState:
         self._start_call(now, encrypted=l2.encrypted)
         if self.current_call is not None:
             self.current_call.update(now)
+        self._voice(message, now)
+
+    def _voice(self, message: P25P1Message, now: float) -> None:
+        if self.audio is None:
+            return
+        frames = getattr(message.content, "voice_frames", None)
+        if frames is not None:
+            self.audio.receive_frames(frames, now,
+                                      identifiers=self.identifiers.all())
 
     def _terminator(self, message: P25P1Message, now: float) -> None:
         if self.current_call is not None:
             self.current_call.end(now)
             self.current_call = None
+        if self.audio is not None:
+            self.audio.end_call(now)
         self.state_machine.set_state(ChannelState.FADE, now)
 
     def _start_call(self, now: float, encrypted: bool = False) -> None:

@@ -39,12 +39,15 @@ class P25P2DecoderState:
 
     def __init__(self, traffic: TrafficChannelManager | None = None,
                  on_scramble_update: Callable[[int, int, int], None]
-                 | None = None):
+                 | None = None, audio: list | None = None):
+        """audio: optional [MBEAudioModule, MBEAudioModule], one per TDMA
+        channel, receiving VOICE_4/VOICE_2 AMBE frames."""
         self.state = [StateMachine(), StateMachine()]
         self.identifiers = IdentifierCollection()
         self.history = DecodeEventHistory()
         self.traffic = traffic or TrafficChannelManager("APCO25-P2")
         self.on_scramble_update = on_scramble_update
+        self.audio = audio
         self.current_call: list[DecodeEvent | None] = [None, None]
         self.scramble_key: tuple[int, int, int] | None = None
 
@@ -53,6 +56,11 @@ class P25P2DecoderState:
         for ts in frag.timeslots:
             if ts.mac is not None:
                 self._mac_pdu(ts, ts.mac, now)
+            if (getattr(ts, "voice_frames", None) is not None
+                    and self.audio is not None):
+                self.audio[ts.channel].receive_frames(
+                    ts.voice_frames, now,
+                    identifiers=self.identifiers.all())
         for sm in self.state:
             sm.check(now)
         self.traffic.check_teardown(now)
@@ -171,4 +179,6 @@ class P25P2DecoderState:
         if call is not None:
             call.end(now)
             self.current_call[ch] = None
+        if self.audio is not None:
+            self.audio[ch].end_call(now)
         self.state[ch].set_state(ChannelState.FADE, now)
