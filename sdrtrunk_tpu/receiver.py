@@ -127,6 +127,61 @@ class WidebandReceiver:
 
         return run
 
+    def build_dynamic(self):
+        """Jitted step with the channel plan as RUNTIME DATA:
+
+            step(x, state, bins, step_rad) -> (outputs, state)
+
+        bins: int32 (C,) channelizer bin per slot; step_rad: float32 (C,)
+        residual mixer step (radians/sample at the channel rate). Retuning
+        a slot — the TPU equivalent of ChannelProcessingManager starting a
+        traffic channel (ChannelProcessingManager.java:290) — is just
+        writing new values into these arrays: the compiled graph is
+        reused, no retrace, no recompile. The reference pays a full
+        ProcessingChain construction per grant; here a grant costs two
+        array stores."""
+        ch = self.channelizer
+        m = ch.channels
+        hmat = np.asarray(ch.hmat)
+        vdecode = self._vdecode
+
+        from .dsp.channelizer import _channelize_core
+
+        @jax.jit
+        def run(x, state, bins, step_rad):
+            if x.ndim == 2:
+                x = jax.lax.complex(x[:, 0], x[:, 1])
+            xp = jnp.concatenate([state["chan"], x.astype(jnp.complex64)])
+            y = _channelize_core(xp, hmat, m)                  # (K, M)
+            k = y.shape[0]
+            streams = jnp.take(y, bins, axis=1).T              # (C, K)
+            n = jnp.arange(k, dtype=jnp.float32)[None, :]
+            angles = state["mixer_phase"][:, None] + step_rad[:, None] * n
+            streams = streams * jnp.exp(-1j * angles).astype(jnp.complex64)
+            outputs, dec_state = vdecode(streams, state["dec"])
+            new_state = {
+                "chan": xp[-state["chan"].shape[0]:],
+                "mixer_phase": jnp.mod(
+                    state["mixer_phase"] + step_rad * k, 2.0 * np.pi),
+                "dec": dec_state,
+            }
+            return outputs, new_state
+
+        return run
+
+    def reset_slot(self, state: dict, slot: int) -> dict:
+        """Fresh decoder/mixer state for one slot (the 'new ProcessingChain'
+        moment of a traffic-channel start, minus the cost). Host-side
+        control-plane op; cheap scatter on device."""
+        dec0 = self.decoder.init_state()
+        dec = jax.tree.map(lambda full, init: full.at[slot].set(init),
+                           state["dec"], dec0)
+        return {
+            "chan": state["chan"],
+            "mixer_phase": state["mixer_phase"].at[slot].set(0.0),
+            "dec": dec,
+        }
+
     def build_safe(self):
         """TPU-boundary variant: returns (jitted step, packed_state) where
         carried complex state crosses the jit boundary as float32 (...,2)

@@ -1,0 +1,270 @@
+"""Live runtime orchestrator: the continuous ring -> decode -> events ->
+traffic-following loop.
+
+Role of the reference's ChannelProcessingManager + ProcessingChain pair
+(controller/channel/ChannelProcessingManager.java:290-483,
+module/ProcessingChain.java:630): own the running channels, route decoded
+messages into decoder states, react to traffic grants by STARTING new
+channels mid-stream, and tear them down when calls end.
+
+TPU-first redesign: the reference starts a thread-backed ProcessingChain
+per channel; here ONE jitted slot-bank graph (WidebandReceiver
+.build_dynamic) demodulates every slot each step, and "starting a
+channel" is a host-side control-plane write of (bin, mixer step) into the
+slot arrays plus a decoder-state reset — no recompile, no thread. The
+host side of each slot (framer, message parsing, decoder state, audio
+assembly) stays sequential Python exactly like the reference's message
+layer, consuming the dense dibit arrays the device produced.
+
+Time base is the SAMPLE CLOCK (samples_processed / sample_rate), not wall
+time, so runs are deterministic and replayable (SURVEY.md §5 failure-
+detection note: "deterministic replay from recorded IQ").
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..audio.mbe import FakeMBECodec, MBEAudioModule, MBECodec
+from ..protocol.p25p1.framer import P25P1Framer
+from ..protocol.p25p1.messages import decode_frame
+from ..receiver import WidebandReceiver
+from .events import DecodeEvent
+from .identifiers import IdentifierCollection
+from .p25_state import P25P1DecoderState
+from .traffic import TrafficChannelManager
+
+__all__ = ["ChannelSlot", "P25P1ChannelProcessor", "Orchestrator"]
+
+
+class P25P1ChannelProcessor:
+    """Host-side per-slot pipeline: dibits -> frames -> messages ->
+    decoder state -> audio segments (the message half of a reference
+    ProcessingChain for a P25P1 channel, DecoderFactory.java:185-232)."""
+
+    protocol = "APCO25"
+
+    def __init__(self, traffic: TrafficChannelManager | None = None,
+                 codec: MBECodec | None = None,
+                 preload: IdentifierCollection | None = None):
+        self.framer = P25P1Framer()
+        self.audio = MBEAudioModule(codec=codec)
+        self.state = P25P1DecoderState(traffic=traffic, audio=self.audio)
+        if preload is not None:
+            # Traffic-channel preload data: the grant's identifiers are
+            # known before the first frame decodes
+            # (ChannelProcessingManager.java:403-468 preload posts).
+            self.state.identifiers.update_all(preload.all())
+        self.messages: list = []
+        self.frame_count = 0
+
+    def process(self, dibits: np.ndarray, now: float) -> int:
+        """Consume one chunk of recovered dibits; returns frames decoded."""
+        frames = self.framer.process(dibits)
+        for frame in frames:
+            msg = decode_frame(frame)
+            self.messages.append(msg)
+            self.state.receive(msg, now)
+        self.frame_count += len(frames)
+        return len(frames)
+
+    def drain_audio(self):
+        done = self.audio.completed
+        self.audio.completed = []
+        return done
+
+    def flush(self, now: float) -> None:
+        if self.audio.segment is not None:
+            self.audio.end_call(now)
+
+
+@dataclass
+class ChannelSlot:
+    """One retunable channel slot of the running receiver."""
+    index: int
+    frequency_hz: float = 0.0
+    processor: object | None = None
+    is_control: bool = False
+    active: bool = False
+    activated_at: float = 0.0
+
+
+class Orchestrator:
+    """Continuous decode loop with dynamic traffic-channel following.
+
+    source: callable read(num_samples) -> np.complex64 array (shorter or
+            None at end of stream) — RecordingTuner.read and the native
+            ingest ring both satisfy this.
+    center_frequency_hz: RF frequency at baseband 0 (maps the absolute
+            frequencies in grants to channelizer offsets).
+    control_offsets_hz: baseband offsets of the control channel(s); each
+            gets a pinned slot with a TrafficChannelManager wired to
+            activate/teardown the remaining slots.
+    """
+
+    def __init__(self, source, sample_rate: float,
+                 center_frequency_hz: float,
+                 control_offsets_hz, slots: int = 8,
+                 channel_bandwidth: float = 12500.0,
+                 decoder: str = "c4fm",
+                 codec: MBECodec | None = None,
+                 chunk_samples: int | None = None,
+                 idle_teardown_seconds: float = 2.0,
+                 metrics_sink=None):
+        control_offsets_hz = list(np.atleast_1d(control_offsets_hz))
+        if slots < len(control_offsets_hz) + 1:
+            raise ValueError("need at least one traffic slot")
+        self.source = source
+        self.sample_rate = float(sample_rate)
+        self.center_frequency_hz = float(center_frequency_hz)
+        self.codec = codec if codec is not None else FakeMBECodec()
+        self.metrics_sink = metrics_sink
+
+        self.rx = WidebandReceiver(sample_rate, [0.0] * slots,
+                                   channel_bandwidth=channel_bandwidth,
+                                   decoder=decoder)
+        self.step = self.rx.build_dynamic()
+        self.state = self.rx.init_state()
+        m = self.rx.channelizer.channels
+        self.chunk_samples = (chunk_samples if chunk_samples is not None
+                              else 16 * m)
+        if self.chunk_samples % m != 0:
+            raise ValueError(f"chunk_samples must be a multiple of {m}")
+
+        # slot control arrays — the RUNTIME channel plan
+        self.bins = np.zeros(slots, np.int32)
+        self.steps = np.zeros(slots, np.float32)
+        self.slots = [ChannelSlot(i) for i in range(slots)]
+
+        self.traffic = TrafficChannelManager(
+            "APCO25", idle_teardown_seconds=idle_teardown_seconds,
+            on_activate=self._activate, on_teardown=self._teardown)
+        for i, off in enumerate(control_offsets_hz):
+            slot = self.slots[i]
+            slot.is_control = True
+            slot.active = True
+            slot.frequency_hz = self.center_frequency_hz + float(off)
+            slot.processor = P25P1ChannelProcessor(traffic=self.traffic,
+                                                   codec=self.codec)
+            self._tune(i, float(off))
+
+        self.now = 0.0
+        self.samples_processed = 0
+        self.audio_segments: list = []
+        self.skipped_grants: list[float] = []
+
+    # --- control plane -------------------------------------------------
+
+    def _tune(self, slot: int, offset_hz: float) -> None:
+        ch = self.rx.channelizer
+        b = ch.channel_for_frequency(offset_hz)
+        if not 0 <= b < ch.channels:
+            raise ValueError(f"offset {offset_hz} outside coverage")
+        residual = offset_hz - ch.center_frequency(b)
+        self.bins[slot] = b
+        self.steps[slot] = 2.0 * np.pi * residual / ch.channel_sample_rate
+        self.state = self.rx.reset_slot(self.state, slot)
+
+    def _free_slot(self) -> ChannelSlot | None:
+        for slot in self.slots:
+            if not slot.active and not slot.is_control:
+                return slot
+        return None
+
+    def _activate(self, frequency_hz: float,
+                  identifiers: IdentifierCollection) -> None:
+        """Traffic grant -> start decoding the granted frequency
+        (P25TrafficChannelManager.processChannelGrant:229 ->
+        REQUEST_ENABLE -> startProcessing equivalent)."""
+        offset = frequency_hz - self.center_frequency_hz
+        ch = self.rx.channelizer
+        if abs(offset) > ch.channels * ch.channel_spacing / 2:
+            self.skipped_grants.append(frequency_hz)
+            return
+        for slot in self.slots:          # already tracking this frequency?
+            if slot.active and slot.frequency_hz == frequency_hz:
+                return
+        slot = self._free_slot()
+        if slot is None:
+            self.skipped_grants.append(frequency_hz)
+            return
+        self._tune(slot.index, offset)
+        slot.frequency_hz = frequency_hz
+        slot.active = True
+        slot.activated_at = self.now
+        slot.processor = P25P1ChannelProcessor(
+            traffic=None, codec=self.codec, preload=identifiers)
+
+    def _teardown(self, frequency_hz: float) -> None:
+        for slot in self.slots:
+            if slot.active and not slot.is_control \
+                    and slot.frequency_hz == frequency_hz:
+                slot.processor.flush(self.now)
+                self.audio_segments.extend(slot.processor.drain_audio())
+                slot.active = False
+
+    # --- data plane ----------------------------------------------------
+
+    def run_chunk(self, iq: np.ndarray) -> dict:
+        """Process one wideband chunk through the slot bank + host layer."""
+        import jax.numpy as jnp
+        out, self.state = self.step(
+            jnp.asarray(iq, jnp.complex64), self.state,
+            jnp.asarray(self.bins), jnp.asarray(self.steps))
+        dib = np.asarray(out["dibits"])
+        val = np.asarray(out["valid"])
+        self.samples_processed += len(iq)
+        self.now = self.samples_processed / self.sample_rate
+
+        frames = 0
+        for slot in self.slots:
+            if not slot.active:
+                continue
+            n = slot.processor.process(dib[slot.index][val[slot.index]],
+                                       self.now)
+            frames += n
+            if n and not slot.is_control:
+                # frames on a traffic channel = activity for teardown aging
+                self.traffic.process_activity(slot.frequency_hz, self.now)
+            self.audio_segments.extend(slot.processor.drain_audio())
+        self.traffic.check_teardown(self.now)
+
+        metrics = {
+            "t": round(self.now, 6),
+            "samples": self.samples_processed,
+            "active_channels": sum(s.active for s in self.slots),
+            "frames": frames,
+            "events": len(self.traffic.events),
+            "audio_segments": len(self.audio_segments),
+        }
+        if self.metrics_sink is not None:
+            self.metrics_sink(json.dumps(metrics))
+        return metrics
+
+    def run(self, max_chunks: int | None = None) -> dict:
+        """Drain the source to exhaustion (or max_chunks). Returns the
+        final metrics line."""
+        metrics = {}
+        chunks = 0
+        while max_chunks is None or chunks < max_chunks:
+            iq = self.source(self.chunk_samples)
+            if iq is None or len(iq) < self.chunk_samples:
+                break
+            metrics = self.run_chunk(np.asarray(iq))
+            chunks += 1
+        return metrics
+
+    # --- introspection ---------------------------------------------------
+
+    @property
+    def events(self) -> list[DecodeEvent]:
+        return self.traffic.events
+
+    def channel_status(self) -> list[dict]:
+        return [{
+            "slot": s.index, "active": s.active, "control": s.is_control,
+            "frequency_hz": s.frequency_hz,
+            "frames": (s.processor.frame_count if s.processor else 0),
+        } for s in self.slots]

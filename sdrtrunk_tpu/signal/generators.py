@@ -133,11 +133,16 @@ def _shape_pulse_train(levels: np.ndarray, sps: float, n: int,
             h = np.where(np.abs(denom) < eps,
                          (np.pi / 4.0) * np.sinc(1.0 / (2.0 * alpha)), h)
             return np.where(np.abs(t) <= half, h, 0.0)
-    # chunk over symbols to bound the (n, chunk) matrix
+    # chunk over symbols; each pulse only spans `span_symbols`, so evaluate
+    # the (samples, chunk) matrix over the chunk's support window only —
+    # O(n·span) total work instead of O(n·num_symbols)
     for k0 in range(0, len(levels), 256):
-        k = np.arange(k0, min(k0 + 256, len(levels)), dtype=np.float64)
-        t = (i[:, None] - k[None, :] * sps) / sps  # (n, chunk) symbol units
-        out += pulse_fn(t) @ levels[k0:k0 + 256]
+        k1 = min(k0 + 256, len(levels))
+        k = np.arange(k0, k1, dtype=np.float64)
+        lo = max(0, int(np.floor((k0 - half) * sps)))
+        hi = min(n, int(np.ceil((k1 - 1 + half) * sps)) + 1)
+        t = (i[lo:hi, None] - k[None, :] * sps) / sps  # symbol units
+        out[lo:hi] += pulse_fn(t) @ levels[k0:k1]
     return out
 
 
