@@ -61,8 +61,7 @@ def _decode_single(iq: np.ndarray, fs: float, protocol: str,
             dec = AMDecoder(AMConfig(sample_rate=fs))
         out, _ = dec(jnp.asarray(iq), dec.init_state())
         result["audio"] = np.asarray(out["audio"])
-    elif protocol == "p25p1":
-        from .decoders.c4fm import C4FMConfig, C4FMDecoder
+    elif protocol in ("p25p1", "p25p1-lsm"):
         from .protocol.p25p1 import P25P1Framer
         from .protocol.p25p1.messages import decode_frame
 
@@ -81,8 +80,14 @@ def _decode_single(iq: np.ndarray, fs: float, protocol: str,
                 d.update(content.link_control.fields or {})
             return d
 
-        dibit_chain(C4FMDecoder, C4FMConfig(sample_rate=fs),
-                    P25P1Framer(), describe)
+        if protocol == "p25p1-lsm":
+            from .decoders.lsm import LSMConfig, LSMDecoder
+            dibit_chain(LSMDecoder, LSMConfig(sample_rate=fs),
+                        P25P1Framer(), describe)
+        else:
+            from .decoders.c4fm import C4FMConfig, C4FMDecoder
+            dibit_chain(C4FMDecoder, C4FMConfig(sample_rate=fs),
+                        P25P1Framer(), describe)
     elif protocol == "dmr":
         from .decoders.dmr import DMRConfig, DMRDecoder
         from .protocol.dmr import DMRFramer
@@ -280,6 +285,12 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="sdrtrunk_tpu",
         description="TPU-native trunked-radio decoder (headless)")
+    parser.add_argument(
+        "--platform", choices=["cpu", "device"], default=None,
+        help="JAX platform: host-scale commands (info/channelize/decode/"
+             "replay) default to cpu — single-channel decode is latency-"
+             "bound, not throughput-bound, and gains nothing from an "
+             "accelerator; bench defaults to the accelerator")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("info", help="band summary from an IQ wave")
@@ -298,8 +309,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("decode", help="decode one channel from an IQ wave")
     p.add_argument("input")
     p.add_argument("--protocol", required=True,
-                   choices=["nbfm", "am", "p25p1", "p25p2", "dmr", "ltr",
-                            "passport", "mpt1327"])
+                   choices=["nbfm", "am", "p25p1", "p25p1-lsm", "p25p2",
+                            "dmr", "ltr", "passport", "mpt1327"])
     p.add_argument("--offset", type=float, default=0.0,
                    help="channel offset from capture center (Hz)")
     p.add_argument("--bandwidth", type=float, default=12500.0)
@@ -323,6 +334,14 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
+    platform = args.platform
+    if platform is None and args.fn is not cmd_bench:
+        platform = "cpu"
+    if platform == "cpu":
+        # must run before the first jax op initializes a backend; env vars
+        # alone do not override an axon-style sitecustomize registration
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     return args.fn(args)
 
 

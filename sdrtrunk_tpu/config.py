@@ -19,8 +19,8 @@ __all__ = ["SourceConfig", "DecodeConfig", "RecordConfig", "EventLogConfig",
 
 PLAYLIST_VERSION = 1
 
-DECODER_TYPES = ("nbfm", "am", "p25p1", "p25p2", "dmr", "ltr", "ltrnet",
-                 "passport", "mpt1327")
+DECODER_TYPES = ("nbfm", "am", "p25p1", "p25p1-lsm", "p25p2", "dmr", "ltr",
+                 "ltrnet", "passport", "mpt1327")
 
 
 @dataclass

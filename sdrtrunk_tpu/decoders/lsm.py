@@ -1,11 +1,11 @@
-"""P25 Phase 2 HDQPSK decoder chain (device side, up to dibits).
+"""P25 Phase 1 LSM (Linear Simulcast Modulation) decoder chain.
 
-Reference chain (module/decode/p25/phase2/P25P2DecoderHDQPSK.java:62-89):
-baseband filter pass 6500 / stop 7200, ripple 0.005; DQPSKGardnerDemodulator
-at 6000 baud with symbol timing gain 0.1 — Gardner is the reference's
-production timing detector for Phase 2 (simulcast-robust). `timing` selects
-"gardner" (default, matching the reference) or "decision" (the
-decision-directed core, sharper on clean non-simulcast signals).
+Reference chain (module/decode/p25/phase1/P25P1DecoderLSM.java:52-90):
+same baseband filter as C4FM (pass 5100 / stop 6500, ripple 0.01) but the
+symbol recovery is a DQPSKGardnerDemodulator with sample counter gain 0.3
+— pi/4-DQPSK transmitted by linear simulcast sites has inter-site timing
+smear that the decision-directed detector cannot track; the Gardner TED's
+amplitude sensitivity is what keeps lock there.
 """
 from __future__ import annotations
 
@@ -15,31 +15,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dsp import agc, demod, design, fir
-from ..dsp.psk import DQPSKDemodulator, GardnerDQPSKDemodulator
+from ..dsp.psk import GardnerDQPSKDemodulator
 
 
 @dataclass(frozen=True)
-class P25P2Config:
-    sample_rate: float = 50000.0
-    symbol_rate: float = 6000.0
-    pass_hz: float = 6500.0
-    stop_hz: float = 7200.0
-    sample_counter_gain: float = 0.1   # P25P2DecoderHDQPSK.java:62
+class LSMConfig:
+    sample_rate: float = 25000.0
+    symbol_rate: float = 4800.0
+    pass_hz: float = 5100.0
+    stop_hz: float = 6500.0
+    sample_counter_gain: float = 0.3   # P25P1DecoderLSM.java:52
     pll_bandwidth: float = 300.0
     agc_window: int = 32
-    timing: str = "gardner"            # "gardner" | "decision"
 
 
-class P25P2Decoder:
-    def __init__(self, config: P25P2Config = P25P2Config()):
+class LSMDecoder:
+    def __init__(self, config: LSMConfig = LSMConfig()):
         self.config = config
         self.baseband_taps = np.asarray(
             design.remez_lowpass(63, config.pass_hz, config.stop_hz,
-                                 config.sample_rate, 0.005, 0.005),
+                                 config.sample_rate, 0.01, 0.01),
             jnp.float32)
-        demod_cls = (GardnerDQPSKDemodulator if config.timing == "gardner"
-                     else DQPSKDemodulator)
-        self.demod = demod_cls(
+        self.demod = GardnerDQPSKDemodulator(
             sample_rate=config.sample_rate,
             symbol_rate=config.symbol_rate,
             sample_counter_gain=config.sample_counter_gain,

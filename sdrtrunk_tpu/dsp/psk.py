@@ -38,7 +38,8 @@ import numpy as np
 
 from .interpolator import CENTER, NSTEPS, interpolator_bank
 
-__all__ = ["DQPSKDemodulator", "DQPSKState", "costas_gains"]
+__all__ = ["DQPSKDemodulator", "DQPSKState", "costas_gains",
+           "GardnerDQPSKDemodulator", "GardnerState"]
 
 TWO_PI = 2.0 * math.pi
 
@@ -186,6 +187,167 @@ class DQPSKDemodulator:
         valid[i]. Compact with dibits[valid] on host, or feed the (values,
         mask) pair to downstream device framing.
         """
+        if state is None:
+            state = self.init_state()
+        state, (dibits, valid) = jax.lax.scan(self._step, state, x,
+                                              unroll=self.unroll)
+        return dibits, valid, state
+
+
+class GardnerState(NamedTuple):
+    window: jnp.ndarray          # (W,) complex64 delay line, newest at [-1]
+    sampling_point: jnp.ndarray  # f32
+    detected_sps: jnp.ndarray    # f32
+    pll_phase: jnp.ndarray       # f32
+    pll_freq: jnp.ndarray        # f32
+    prev_mid_sample: jnp.ndarray   # complex64 (raw interpolated, mu point)
+    prev_cur_sample: jnp.ndarray   # complex64 (raw interpolated, +sps/2)
+    prev_cur_symbol: jnp.ndarray   # complex64 (normalized differential)
+
+
+@dataclass
+class GardnerDQPSKDemodulator:
+    """DQPSK demod with a Gardner timing error detector — the reference's
+    choice for P25 Linear Simulcast Modulation and P25 Phase 2 HDQPSK
+    (dsp/psk/DQPSKGardnerDemodulator.java:30-88,
+    DQPSKGardnerSymbolEvaluator.java:63-106).
+
+    Differences from the decision-directed core, mirrored exactly:
+      * TWO interpolation points per symbol: the Gardner mid-point at the
+        sampling point mu, and the symbol sample half a detected symbol
+        period later (InterpolatingSampleBuffer.getMiddleSample:171-179
+        interpolates at detectedSPS/2 — note it does not add mu).
+      * both points are differentially decoded against their own previous
+        raw samples and normalized, then the Gardner TED
+        err = (prevSym.i - curSym.i)*mid.i + (prevSym.q - curSym.q)*mid.q
+        clipped +/-0.3 drives timing; the quadrant decision + de-rotated
+        quadrature of the symbol sample drives the PLL (clip 0.3) — same
+        resetAndAdjust / CostasLoop.adjust updates as decision-directed.
+
+    The amplitude-sensitive TED handles the intersymbol fading of
+    simulcast channels where the decision-directed detector loses lock.
+    """
+    sample_rate: float
+    symbol_rate: float = 4800.0
+    sample_counter_gain: float = 0.3
+    loop_bandwidth: float = 300.0
+    max_deviation: float = 0.02
+    unroll: int = 8
+
+    def __post_init__(self):
+        self.samples_per_symbol = self.sample_rate / self.symbol_rate
+        if self.samples_per_symbol < 4.0:
+            raise ValueError("need >= 4 samples/symbol for the 8-tap interpolator")
+        # window must cover the symbol-sample offset floor(sps_max/2) + 8
+        # interpolator taps; 2*sps covers it for sps >= 4 with 2% deviation
+        self.window_len = max(int(math.floor(2.0 * self.samples_per_symbol)),
+                              int(self.samples_per_symbol * 1.02 / 2) + 9)
+        self.alpha, self.beta = costas_gains(self.loop_bandwidth)
+        self.max_pll_freq = TWO_PI * (self.symbol_rate / 2.0) / self.sample_rate
+        self.dsps_gain = 0.1 * self.sample_counter_gain ** 2
+        self.bank = np.asarray(interpolator_bank())
+
+    def init_state(self) -> GardnerState:
+        sps = self.samples_per_symbol
+        return GardnerState(
+            window=jnp.zeros((self.window_len,), jnp.complex64),
+            sampling_point=jnp.asarray(sps, jnp.float32),
+            detected_sps=jnp.asarray(sps, jnp.float32),
+            pll_phase=jnp.zeros((), jnp.float32),
+            pll_freq=jnp.zeros((), jnp.float32),
+            prev_mid_sample=jnp.zeros((), jnp.complex64),
+            prev_cur_sample=jnp.zeros((), jnp.complex64),
+            prev_cur_symbol=jnp.zeros((), jnp.complex64),
+        )
+
+    def _interp(self, window: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+        """Interpolate at fractional `offset` samples into the window
+        (InterpolatingSampleBuffer.getInphase:186-198: integer part moves
+        the 8-tap base, fractional part selects the polyphase arm)."""
+        k = jnp.floor(offset).astype(jnp.int32)
+        mu = offset - k.astype(jnp.float32)
+        idx = jnp.clip((NSTEPS * mu).astype(jnp.int32), 0, NSTEPS)
+        taps = jnp.asarray(self.bank)[idx]                       # (8,)
+        base = jnp.clip(k, 0, window.shape[0] - 8)
+        w8 = jax.lax.dynamic_slice(window, (base,), (8,))
+        out = jnp.sum(taps * w8.real) + 1j * jnp.sum(taps * w8.imag)
+        return out.astype(jnp.complex64)
+
+    def _step(self, state: GardnerState, x_t: jnp.ndarray):
+        sps_min = self.samples_per_symbol * (1.0 - self.max_deviation)
+        sps_max = self.samples_per_symbol * (1.0 + self.max_deviation)
+        g = self.sample_counter_gain
+
+        phase = state.pll_phase + state.pll_freq
+        phase = jnp.where(phase > TWO_PI, phase - TWO_PI, phase)
+        phase = jnp.where(phase < -TWO_PI, phase + TWO_PI, phase)
+        mixed = x_t * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+        window = jnp.concatenate([state.window[1:], mixed[None]])
+        sampling_point = state.sampling_point - 1.0
+        has_symbol = sampling_point < 1.0
+
+        mu = jnp.clip(sampling_point, 0.0, 1.0)
+        mid_sample = self._interp(window, mu)
+        cur_sample = self._interp(window, state.detected_sps / 2.0)
+
+        def _normalize(z):
+            mag = jnp.abs(z)
+            return jnp.where(mag > 1e-12, z / mag, jnp.zeros_like(z))
+
+        mid_symbol = _normalize(mid_sample * jnp.conj(state.prev_mid_sample))
+        cur_symbol = _normalize(cur_sample * jnp.conj(state.prev_cur_sample))
+
+        # --- Gardner TED (DQPSKGardnerSymbolEvaluator.setSymbols:63-70) ---
+        prev = state.prev_cur_symbol
+        terr = ((prev.real - cur_symbol.real) * mid_symbol.real +
+                (prev.imag - cur_symbol.imag) * mid_symbol.imag)
+        terr = jnp.clip(jnp.where(jnp.isnan(terr), 0.0, terr), -0.3, 0.3)
+
+        # --- quadrant decision + phase error (same slicer as DD) ---
+        ci, cq = cur_symbol.real, cur_symbol.imag
+        q_pos = cq > 0.0
+        i_pos = ci > 0.0
+        dibit = jnp.where(q_pos,
+                          jnp.where(i_pos, 0, 1),
+                          jnp.where(i_pos, 2, 3)).astype(jnp.int32)
+        ref_angle = jnp.pi / 4.0 + jnp.pi / 2.0 * jnp.where(
+            dibit == 0, 0, jnp.where(dibit == 1, 1, jnp.where(dibit == 3, 2, 3)))
+        rot = cur_symbol * jax.lax.complex(
+            jnp.cos(ref_angle), -jnp.sin(ref_angle))
+        perr_raw = -rot.imag
+        perr_raw = jnp.clip(jnp.where(jnp.isnan(perr_raw), 0.0, perr_raw),
+                            -0.3, 0.3)
+
+        detected = jnp.clip(state.detected_sps + terr * self.dsps_gain,
+                            sps_min, sps_max)
+        sp_new = sampling_point + detected + terr * g
+
+        perr = jnp.clip(perr_raw, -0.5, 0.5)
+        freq = state.pll_freq + self.beta * perr
+        phase2 = phase + freq + self.alpha * perr
+        phase2 = jnp.where(phase2 > TWO_PI, phase2 - TWO_PI, phase2)
+        phase2 = jnp.where(phase2 < -TWO_PI, phase2 + TWO_PI, phase2)
+        freq = jnp.clip(freq, -self.max_pll_freq, self.max_pll_freq)
+
+        new_state = GardnerState(
+            window=window,
+            sampling_point=jnp.where(has_symbol, sp_new, sampling_point),
+            detected_sps=jnp.where(has_symbol, detected, state.detected_sps),
+            pll_phase=jnp.where(has_symbol, phase2, phase),
+            pll_freq=jnp.where(has_symbol, freq, state.pll_freq),
+            prev_mid_sample=jnp.where(has_symbol, mid_sample,
+                                      state.prev_mid_sample),
+            prev_cur_sample=jnp.where(has_symbol, cur_sample,
+                                      state.prev_cur_sample),
+            prev_cur_symbol=jnp.where(has_symbol, cur_symbol,
+                                      state.prev_cur_symbol),
+        )
+        return new_state, (dibit, has_symbol)
+
+    def __call__(self, x: jnp.ndarray, state: GardnerState | None = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray, GardnerState]:
+        """Demodulate a block; see DQPSKDemodulator.__call__."""
         if state is None:
             state = self.init_state()
         state, (dibits, valid) = jax.lax.scan(self._step, state, x,

@@ -42,6 +42,9 @@ def make_channel_decoder(kind: str, sample_rate: float,
     if kind == "dmr":
         from .decoders.dmr import DMRConfig, DMRDecoder
         return DMRDecoder(DMRConfig(sample_rate=sample_rate))
+    if kind in ("lsm", "p25p1-lsm"):
+        from .decoders.lsm import LSMConfig, LSMDecoder
+        return LSMDecoder(LSMConfig(sample_rate=sample_rate))
     if kind == "p25p2":
         from .decoders.p25p2 import P25P2Config, P25P2Decoder
         return P25P2Decoder(P25P2Config(sample_rate=sample_rate))

@@ -112,7 +112,12 @@ def test_fragment_framer():
 
 def test_p25p2_modem_end_to_end():
     """Fragment -> 6000-baud constant-envelope differential modem ->
-    demod -> framer -> parsed timeslots."""
+    demod -> framer -> parsed timeslots.
+
+    A C4FM-style constant-envelope transmission carries no amplitude
+    transitions for the Gardner TED, so this test pins the
+    decision-directed timing core (the production default is Gardner for
+    the linear H-DQPSK downlink — see tests/test_gardner.py)."""
     import jax
     from sdrtrunk_tpu.decoders.p25p2 import P25P2Config, P25P2Decoder
     from sdrtrunk_tpu.signal import generators
@@ -132,7 +137,8 @@ def test_p25p2_modem_end_to_end():
     ])
     fs = 50000.0
     iq = generators.c4fm_modulate(tx_dibits, fs, symbol_rate=6000.0)
-    dec = P25P2Decoder(P25P2Config(sample_rate=fs))
+    dec = P25P2Decoder(P25P2Config(sample_rate=fs, timing="decision",
+                                   sample_counter_gain=0.3))
     out, _ = dec(jnp.asarray(iq), dec.init_state())
     rx = np.asarray(out["dibits"])[np.asarray(out["valid"])]
     frags = P25P2Framer(wacn, system, nac).process(rx)
