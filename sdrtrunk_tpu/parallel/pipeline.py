@@ -98,7 +98,17 @@ class ShardedChannelizerPipeline:
             # a multiple of M so k_local is even and parity is consistent.
 
             # --- extract requested channels, mixer phase at global time ---
-            streams = y[:, bins].T                       # (C, K_local)
+            # bins is (C, 2): two-bin wide channels are joined by the PR
+            # synthesizer rotator indexed at the GLOBAL block position so
+            # shard boundaries stay phase-continuous (dsp/synthesizer.py)
+            from ..dsp.synthesizer import _ROT4
+            lo = y[:, bins[:, 0]]                        # (K_local, C)
+            hi = y[:, bins[:, 1]]
+            rot = jnp.asarray(_ROT4)[
+                (idx * k_local + jnp.arange(k_local)) % 4]
+            z = rot[:, None] * lo - jnp.conj(rot)[:, None] * hi
+            streams = jnp.where((bins[:, 0] != bins[:, 1])[None, :],
+                                z, lo).T                 # (C, K_local)
             base = (idx * k_local).astype(jnp.float32)
             nn = base + jnp.arange(k_local, dtype=jnp.float32)[None, :]
             mixer = jnp.exp(-1j * (step[:, None] * nn)).astype(jnp.complex64)

@@ -65,10 +65,14 @@ class WidebandReceiver:
 
     def __init__(self, sample_rate: float, channel_offsets,
                  channel_bandwidth: float = 12500.0, taps_per_channel: int = 9,
-                 decoder: str = "nbfm"):
+                 decoder: str = "nbfm", channel_bandwidths=None):
+        """channel_bandwidths: optional per-channel bandwidth (scalar or
+        list); channels wider than one bin are served by two adjacent bins
+        through the PR synthesizer (TwoChannelOutputProcessor.java:26)."""
         self.channelizer = Channelizer.design(
             sample_rate, channel_bandwidth, taps_per_channel)
-        self.plan = plan_channels(self.channelizer, channel_offsets)
+        self.plan = plan_channels(self.channelizer, channel_offsets,
+                                  channel_bandwidths)
         if isinstance(decoder, str):
             decoder = make_channel_decoder(
                 decoder, self.channelizer.channel_sample_rate,
@@ -87,6 +91,7 @@ class WidebandReceiver:
         return {
             "chan": self.channelizer.init_state(),
             "mixer_phase": jnp.zeros((c,), jnp.float32),
+            "rot": jnp.zeros((), jnp.int32),
             "dec": dec,
         }
 
@@ -97,36 +102,16 @@ class WidebandReceiver:
         # a jit constant forces a device->host copy at lowering, which the
         # axon TPU backend cannot do.
         hmat = np.asarray(ch.hmat)
-        bins = np.asarray(self.plan.bins)
+        bins = np.asarray(self.plan.bins)                 # (C, 2)
         step_rad = np.asarray(
             2.0 * np.pi * self.plan.offsets / self.plan.rate, np.float32)
         vdecode = self._vdecode
-
-        from .dsp.channelizer import _channelize_core
+        dynamic = self.build_dynamic()
 
         @jax.jit
         def run(x, state):
-            # Accept complex IQ or float32 (n, 2) I/Q pairs. The pair form
-            # is the TPU-boundary convention: the axon TPU backend cannot
-            # transfer complex arrays host<->device, so complex is formed
-            # ON device and only real arrays cross the boundary.
-            if x.ndim == 2:
-                x = jax.lax.complex(x[:, 0], x[:, 1])
-            xp = jnp.concatenate([state["chan"], x.astype(jnp.complex64)])
-            y = _channelize_core(xp, hmat, m)                  # (K, M)
-            k = y.shape[0]
-            streams = y[:, bins].T                             # (C, K)
-            n = jnp.arange(k, dtype=jnp.float32)[None, :]
-            angles = state["mixer_phase"][:, None] + step_rad[:, None] * n
-            streams = streams * jnp.exp(-1j * angles).astype(jnp.complex64)
-            outputs, dec_state = vdecode(streams, state["dec"])
-            new_state = {
-                "chan": xp[-state["chan"].shape[0]:],
-                "mixer_phase": jnp.mod(
-                    state["mixer_phase"] + step_rad * k, 2.0 * np.pi),
-                "dec": dec_state,
-            }
-            return outputs, new_state
+            return dynamic(x, state, jnp.asarray(bins, jnp.int32),
+                           jnp.asarray(step_rad))
 
         return run
 
@@ -135,7 +120,9 @@ class WidebandReceiver:
 
             step(x, state, bins, step_rad) -> (outputs, state)
 
-        bins: int32 (C,) channelizer bin per slot; step_rad: float32 (C,)
+        bins: int32 (C, 2) [lower, upper] bin pair per slot (equal for
+        single-bin channels, adjacent for two-bin wide channels joined by
+        the PR synthesizer); step_rad: float32 (C,)
         residual mixer step (radians/sample at the channel rate). Retuning
         a slot — the TPU equivalent of ChannelProcessingManager starting a
         traffic channel (ChannelProcessingManager.java:290) — is just
@@ -150,14 +137,25 @@ class WidebandReceiver:
 
         from .dsp.channelizer import _channelize_core
 
+        from .dsp.synthesizer import _ROT4
+
         @jax.jit
         def run(x, state, bins, step_rad):
+            # Accept complex IQ or float32 (n, 2) I/Q pairs. The pair form
+            # is the TPU-boundary convention: the axon TPU backend cannot
+            # transfer complex arrays host<->device, so complex is formed
+            # ON device and only real arrays cross the boundary.
             if x.ndim == 2:
                 x = jax.lax.complex(x[:, 0], x[:, 1])
             xp = jnp.concatenate([state["chan"], x.astype(jnp.complex64)])
             y = _channelize_core(xp, hmat, m)                  # (K, M)
             k = y.shape[0]
-            streams = jnp.take(y, bins, axis=1).T              # (C, K)
+            lo = jnp.take(y, bins[:, 0], axis=1)               # (K, C)
+            hi = jnp.take(y, bins[:, 1], axis=1)
+            rot = jnp.asarray(_ROT4)[(state["rot"] + jnp.arange(k)) % 4]
+            z = rot[:, None] * lo - jnp.conj(rot)[:, None] * hi
+            streams = jnp.where((bins[:, 0] != bins[:, 1])[None, :],
+                                z, lo).T                       # (C, K)
             n = jnp.arange(k, dtype=jnp.float32)[None, :]
             angles = state["mixer_phase"][:, None] + step_rad[:, None] * n
             streams = streams * jnp.exp(-1j * angles).astype(jnp.complex64)
@@ -166,6 +164,7 @@ class WidebandReceiver:
                 "chan": xp[-state["chan"].shape[0]:],
                 "mixer_phase": jnp.mod(
                     state["mixer_phase"] + step_rad * k, 2.0 * np.pi),
+                "rot": (state["rot"] + k) % 4,
                 "dec": dec_state,
             }
             return outputs, new_state
@@ -182,6 +181,7 @@ class WidebandReceiver:
         return {
             "chan": state["chan"],
             "mixer_phase": state["mixer_phase"].at[slot].set(0.0),
+            "rot": state["rot"],
             "dec": dec,
         }
 

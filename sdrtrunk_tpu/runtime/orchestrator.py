@@ -133,8 +133,9 @@ class Orchestrator:
         if self.chunk_samples % m != 0:
             raise ValueError(f"chunk_samples must be a multiple of {m}")
 
-        # slot control arrays — the RUNTIME channel plan
-        self.bins = np.zeros(slots, np.int32)
+        # slot control arrays — the RUNTIME channel plan (bin pairs; a
+        # single-bin slot repeats its index, see ChannelPlan)
+        self.bins = np.zeros((slots, 2), np.int32)
         self.steps = np.zeros(slots, np.float32)
         self.slots = [ChannelSlot(i) for i in range(slots)]
 
@@ -163,7 +164,7 @@ class Orchestrator:
         if not 0 <= b < ch.channels:
             raise ValueError(f"offset {offset_hz} outside coverage")
         residual = offset_hz - ch.center_frequency(b)
-        self.bins[slot] = b
+        self.bins[slot] = (b, b)
         self.steps[slot] = 2.0 * np.pi * residual / ch.channel_sample_rate
         self.state = self.rx.reset_slot(self.state, slot)
 
