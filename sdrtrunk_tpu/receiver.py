@@ -103,15 +103,53 @@ class WidebandReceiver:
         # axon TPU backend cannot do.
         hmat = np.asarray(ch.hmat)
         bins = np.asarray(self.plan.bins)                 # (C, 2)
+        wide = np.asarray(self.plan.wide)
+        any_wide = bool(wide.any())
         step_rad = np.asarray(
             2.0 * np.pi * self.plan.offsets / self.plan.rate, np.float32)
         vdecode = self._vdecode
-        dynamic = self.build_dynamic()
 
+        from .dsp.channelizer import _channelize_core
+        from .dsp.synthesizer import _ROT4
+
+        # bins stay host-side CONSTANTS here: XLA constant-folds the
+        # gather into a static slice layout — with traced indices the
+        # same gather lowers ~100x slower on TPU (measured: 13.7 GS/s ->
+        # 0.14 GS/s through this receiver). build_dynamic() trades that
+        # for recompile-free retuning; this static build is the bench/
+        # fixed-plan fast path.
         @jax.jit
         def run(x, state):
-            return dynamic(x, state, jnp.asarray(bins, jnp.int32),
-                           jnp.asarray(step_rad))
+            # Accept complex IQ or float32 (n, 2) I/Q pairs. The pair form
+            # is the TPU-boundary convention: the axon TPU backend cannot
+            # transfer complex arrays host<->device, so complex is formed
+            # ON device and only real arrays cross the boundary.
+            if x.ndim == 2:
+                x = jax.lax.complex(x[:, 0], x[:, 1])
+            xp = jnp.concatenate([state["chan"], x.astype(jnp.complex64)])
+            y = _channelize_core(xp, hmat, m)                  # (K, M)
+            k = y.shape[0]
+            lo = y[:, bins[:, 0]]                              # (K, C)
+            if any_wide:
+                hi = y[:, bins[:, 1]]
+                rot = jnp.asarray(_ROT4)[
+                    (state["rot"] + jnp.arange(k)) % 4][:, None]
+                z = rot * lo - jnp.conj(rot) * hi
+                streams = jnp.where(wide[None, :], z, lo).T    # (C, K)
+            else:
+                streams = lo.T
+            n = jnp.arange(k, dtype=jnp.float32)[None, :]
+            angles = state["mixer_phase"][:, None] + step_rad[:, None] * n
+            streams = streams * jnp.exp(-1j * angles).astype(jnp.complex64)
+            outputs, dec_state = vdecode(streams, state["dec"])
+            new_state = {
+                "chan": xp[-state["chan"].shape[0]:],
+                "mixer_phase": jnp.mod(
+                    state["mixer_phase"] + step_rad * k, 2.0 * np.pi),
+                "rot": (state["rot"] + k) % 4,
+                "dec": dec_state,
+            }
+            return outputs, new_state
 
         return run
 
@@ -141,17 +179,22 @@ class WidebandReceiver:
 
         @jax.jit
         def run(x, state, bins, step_rad):
-            # Accept complex IQ or float32 (n, 2) I/Q pairs. The pair form
-            # is the TPU-boundary convention: the axon TPU backend cannot
-            # transfer complex arrays host<->device, so complex is formed
-            # ON device and only real arrays cross the boundary.
             if x.ndim == 2:
                 x = jax.lax.complex(x[:, 0], x[:, 1])
             xp = jnp.concatenate([state["chan"], x.astype(jnp.complex64)])
             y = _channelize_core(xp, hmat, m)                  # (K, M)
             k = y.shape[0]
-            lo = jnp.take(y, bins[:, 0], axis=1)               # (K, C)
-            hi = jnp.take(y, bins[:, 1], axis=1)
+            # traced-index bin selection via one-hot matmul: slot counts
+            # are small (a handful of channels), so a (K, M) x (M, C)
+            # matmul rides the MXU instead of a dynamic gather, which
+            # lowers ~100x slower on TPU for minor-dim traced indices
+            c = bins.shape[0]
+            sel_lo = (bins[None, :, 0] == jnp.arange(m)[:, None]
+                      ).astype(jnp.float32)                    # (M, C)
+            sel_hi = (bins[None, :, 1] == jnp.arange(m)[:, None]
+                      ).astype(jnp.float32)
+            lo = jax.lax.complex(y.real @ sel_lo, y.imag @ sel_lo)
+            hi = jax.lax.complex(y.real @ sel_hi, y.imag @ sel_hi)
             rot = jnp.asarray(_ROT4)[(state["rot"] + jnp.arange(k)) % 4]
             z = rot[:, None] * lo - jnp.conj(rot)[:, None] * hi
             streams = jnp.where((bins[:, 0] != bins[:, 1])[None, :],

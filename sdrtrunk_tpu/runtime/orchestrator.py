@@ -33,6 +33,7 @@ from ..protocol.p25p1.messages import decode_frame
 from ..receiver import WidebandReceiver
 from .events import DecodeEvent
 from .identifiers import IdentifierCollection
+from .metrics import ChannelMetrics, FrequencyErrorMonitor
 from .p25_state import P25P1DecoderState
 from .traffic import TrafficChannelManager
 
@@ -51,6 +52,7 @@ class P25P1ChannelProcessor:
                  preload: IdentifierCollection | None = None):
         self.framer = P25P1Framer()
         self.audio = MBEAudioModule(codec=codec)
+        self.metrics = ChannelMetrics()
         self.state = P25P1DecoderState(traffic=traffic, audio=self.audio)
         if preload is not None:
             # Traffic-channel preload data: the grant's identifiers are
@@ -63,9 +65,11 @@ class P25P1ChannelProcessor:
     def process(self, dibits: np.ndarray, now: float) -> int:
         """Consume one chunk of recovered dibits; returns frames decoded."""
         frames = self.framer.process(dibits)
+        self.metrics.update(len(dibits), frames)
         for frame in frames:
             msg = decode_frame(frame)
             self.messages.append(msg)
+            self.metrics.message(msg.valid)
             self.state.receive(msg, now)
         self.frame_count += len(frames)
         return len(frames)
@@ -112,7 +116,10 @@ class Orchestrator:
                  codec: MBECodec | None = None,
                  chunk_samples: int | None = None,
                  idle_teardown_seconds: float = 2.0,
-                 metrics_sink=None):
+                 metrics_sink=None,
+                 ppm_correction: bool = True,
+                 ppm_threshold: float = 0.4,
+                 ppm_observation_seconds: float = 30.0):
         control_offsets_hz = list(np.atleast_1d(control_offsets_hz))
         if slots < len(control_offsets_hz) + 1:
             raise ValueError("need at least one traffic slot")
@@ -139,6 +146,7 @@ class Orchestrator:
         self.steps = np.zeros(slots, np.float32)
         self.slots = [ChannelSlot(i) for i in range(slots)]
 
+        self.correction_ppm = 0.0
         self.traffic = TrafficChannelManager(
             "APCO25", idle_teardown_seconds=idle_teardown_seconds,
             on_activate=self._activate, on_teardown=self._teardown)
@@ -156,9 +164,25 @@ class Orchestrator:
         self.audio_segments: list = []
         self.skipped_grants: list[float] = []
 
+        # tuner PPM auto-correction driven by the control channel's PLL
+        # frequency error (CostasLoop broadcast -> FrequencyErrorMonitor)
+        self.ppm_monitor = None
+        if ppm_correction and self.slots[0].is_control \
+                and self.slots[0].frequency_hz > 0:
+            self.ppm_monitor = FrequencyErrorMonitor(
+                self.slots[0].frequency_hz, threshold_ppm=ppm_threshold,
+                observation_seconds=ppm_observation_seconds,
+                on_correct=self._apply_ppm)
+
     # --- control plane -------------------------------------------------
 
     def _tune(self, slot: int, offset_hz: float) -> None:
+        # oscillator-error model: a tuner reading `ppm` high shifts every
+        # RF frequency f by f*ppm/1e6 in the capture; the correction is
+        # frequency-proportional, applied at the slot mixer (the TPU
+        # analog of TunerController.setFrequencyCorrection)
+        f_abs = self.center_frequency_hz + offset_hz
+        offset_hz = offset_hz + self.correction_ppm * 1e-6 * f_abs
         ch = self.rx.channelizer
         b = ch.channel_for_frequency(offset_hz)
         if not 0 <= b < ch.channels:
@@ -167,6 +191,15 @@ class Orchestrator:
         self.bins[slot] = (b, b)
         self.steps[slot] = 2.0 * np.pi * residual / ch.channel_sample_rate
         self.state = self.rx.reset_slot(self.state, slot)
+
+    def _apply_ppm(self, ppm: float) -> None:
+        """Sustained PLL error -> global tuner correction + retune of all
+        running slots (FrequencyErrorCorrectionManager.applyCorrection)."""
+        self.correction_ppm += ppm
+        for slot in self.slots:
+            if slot.active:
+                self._tune(slot.index,
+                           slot.frequency_hz - self.center_frequency_hz)
 
     def _free_slot(self) -> ChannelSlot | None:
         for slot in self.slots:
@@ -219,6 +252,16 @@ class Orchestrator:
         self.samples_processed += len(iq)
         self.now = self.samples_processed / self.sample_rate
 
+        pll_err_hz = None
+        if self.ppm_monitor is not None and "pll_freq" in out:
+            # loop freq (rad/sample at channel rate) -> Hz
+            # (CostasLoop.java:212); positive loop freq means the PLL
+            # mixes UP to compensate a signal BELOW expected frequency
+            rate = self.rx.channelizer.channel_sample_rate
+            pll_err_hz = float(-np.asarray(out["pll_freq"])[0]
+                               * rate / (2.0 * np.pi))
+            self.ppm_monitor.update(pll_err_hz, self.now)
+
         frames = 0
         for slot in self.slots:
             if not slot.active:
@@ -240,6 +283,9 @@ class Orchestrator:
             "events": len(self.traffic.events),
             "audio_segments": len(self.audio_segments),
         }
+        if pll_err_hz is not None:
+            metrics["pll_error_hz"] = round(pll_err_hz, 1)
+            metrics["correction_ppm"] = round(self.correction_ppm, 3)
         if self.metrics_sink is not None:
             self.metrics_sink(json.dumps(metrics))
         return metrics
@@ -268,4 +314,7 @@ class Orchestrator:
             "slot": s.index, "active": s.active, "control": s.is_control,
             "frequency_hz": s.frequency_hz,
             "frames": (s.processor.frame_count if s.processor else 0),
+            "metrics": (s.processor.metrics.as_dict()
+                        if s.processor is not None
+                        and hasattr(s.processor, "metrics") else None),
         } for s in self.slots]
