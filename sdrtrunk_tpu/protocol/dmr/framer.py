@@ -195,6 +195,18 @@ class DMRFramer:
                                   else "terminator")
         elif dt == DataType.IDLE:
             frame.content_kind = "idle"
+        elif dt == DataType.DATA_HEADER:
+            from ..edac.bptc import bptc_196_96_decode
+            from .data import parse_data_header
+            info, nerr = bptc_196_96_decode(info196)
+            if nerr is not None:
+                frame.content = parse_data_header(info)
+            frame.content_kind = "data_header"
+        elif dt in (DataType.RATE_1_2_DATA, DataType.RATE_3_4_DATA,
+                    DataType.RATE_1_DATA):
+            from .packet import decode_block
+            frame.content = decode_block(dt, info196)
+            frame.content_kind = "data_block"
         else:
             frame.content_kind = "data"
 
