@@ -127,7 +127,7 @@ def _decode_single(iq: np.ndarray, fs: float, protocol: str,
 
         dibit_chain(P25P2Decoder, P25P2Config(sample_rate=fs),
                     framer, describe)
-    elif protocol in ("ltr", "passport", "mpt1327"):
+    elif protocol in ("ltr", "ltrnet", "passport", "mpt1327"):
         # FM demod to 8 kHz audio, then the sub-audible/audio FSK layer
         import jax.numpy as jnp
         from .decoders import NBFMConfig, NBFMDecoder
@@ -162,6 +162,18 @@ def _decode_single(iq: np.ndarray, fs: float, protocol: str,
                          "channel": m.channel, "home": m.home,
                          "group": m.group, "free": m.free,
                          "start": m.start})
+            elif protocol == "ltrnet":
+                from .protocol.ltr import LtrNetFramer, LtrNetTracker
+                tracker = LtrNetTracker()
+                for m in LtrNetFramer("OSW").process(rx):
+                    tracker.process(m)
+                    result["messages"].append(
+                        {"protocol": "ltrnet",
+                         "type": m.message_type.value, "start": m.start,
+                         **m.fields})
+                result["events"] = tracker.events
+                if tracker.site_id is not None:
+                    result["site_id"] = tracker.site_id
             else:
                 from .protocol.passport import PassportFramer
                 for m in PassportFramer().process(rx):
@@ -310,7 +322,7 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("--protocol", required=True,
                    choices=["nbfm", "am", "p25p1", "p25p1-lsm", "p25p2",
-                            "dmr", "ltr", "passport", "mpt1327"])
+                            "dmr", "ltr", "ltrnet", "passport", "mpt1327"])
     p.add_argument("--offset", type=float, default=0.0,
                    help="channel offset from capture center (Hz)")
     p.add_argument("--bandwidth", type=float, default=12500.0)

@@ -1,4 +1,5 @@
-"""LTR Standard trunking protocol (role of module/decode/ltrstandard).
+"""LTR Standard + LTR-Net trunking protocols (roles of
+module/decode/ltrstandard and module/decode/ltrnet).
 
 Word format (40 bits, ltrstandard/message/LTRMessage.java): SYNC(9)
 AREA(1) CHANNEL(5) HOME(5) GROUP(8) FREE(5) CHECKSUM(7). ISW words are the
@@ -7,3 +8,5 @@ per-bit column table (edac/CRCLTR.java).
 """
 from .messages import (LTRMessage, LTRMessageType, LTRFramer, ltr_checksum,
                        ltr_encode_word, SYNC_OSW, SYNC_ISW)
+from .ltrnet import (LtrNetFramer, LtrNetMessage, LtrNetMessageType,
+                     LtrNetTracker, ltrnet_encode_word, parse_ltrnet)
