@@ -8,3 +8,9 @@ from .tuner import (  # noqa: F401
     TunerUnavailable)
 from .test_tuner import TestTuner  # noqa: F401
 from .recording import RecordingTuner, ComplexWaveSource  # noqa: F401
+from .usb import (  # noqa: F401
+    ControlTransfer, RecordingTransport, TransferProcessor, TransferState,
+    UsbError)
+from .rtl2832 import RTL2832Controller, R820TController  # noqa: F401
+from .hackrf import HackRFController  # noqa: F401
+from .airspy import AirspyController  # noqa: F401
