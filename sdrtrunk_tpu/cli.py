@@ -286,6 +286,34 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_instrument(args) -> int:
+    """Instrumentation taps (role of the reference's eye-diagram /
+    constellation viewers, headless): FM-demodulate the channel, build
+    the eye + differential constellation, emit summary JSON and
+    optionally the raw arrays as .npz."""
+    from .dsp.instrument import (best_eye, constellation_metrics,
+                                 dqpsk_constellation)
+
+    iq, fs = _load_iq(args.input)
+    sps = fs / args.symbol_rate
+    points = dqpsk_constellation(iq, sps)
+    cmetrics = constellation_metrics(points)
+    # full-rate quadrature discriminator — the eye needs the channel
+    # sample rate, not the 8 kHz audio tap
+    demod = np.angle(iq[1:] * np.conj(iq[:-1]))
+    eye, eye_offset, opening = best_eye(demod, sps)
+    summary = {"input": args.input, "symbol_rate": args.symbol_rate,
+               "constellation": cmetrics,
+               "eye_traces": int(eye.shape[0]),
+               "eye_offset": round(eye_offset, 3),
+               "eye_opening": round(opening, 3)}
+    if args.output:
+        np.savez(args.output, eye=eye, constellation=points)
+        summary["output"] = args.output
+    _emit(summary)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
     sys.argv = ["bench.py"] + (["--small"] if args.small else [])
@@ -340,6 +368,13 @@ def main(argv=None) -> int:
     p.add_argument("--center-frequency", type=float, default=0.0)
     p.add_argument("--bandwidth", type=float, default=12500.0)
     p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("instrument", help="eye diagram / constellation "
+                                          "taps for a channel IQ wave")
+    p.add_argument("input")
+    p.add_argument("--symbol-rate", type=float, default=4800.0)
+    p.add_argument("--output", help="write eye/constellation arrays (.npz)")
+    p.set_defaults(fn=cmd_instrument)
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--small", action="store_true")
