@@ -6,3 +6,4 @@ from .segments import AudioSegment
 from .duplicate import DuplicateCallDetector
 from .recorder import (write_audio_wave, read_audio_wave, BitsRecorder,
                        BitsReader)
+from .playback import AudioOutput, AudioPlaybackManager, CollectorSink

@@ -23,6 +23,10 @@ class AudioSegment:
     complete: bool = False
     duplicate: bool = False
     timeslot: int = 0
+    # playback-manager fields (AudioSegment.java monitor properties)
+    monitor_priority: int = 100
+    do_not_monitor: bool = False
+    linked_to: object = None        # prior segment of the same call
 
     def add_audio(self, pcm: np.ndarray) -> None:
         if self.complete:
