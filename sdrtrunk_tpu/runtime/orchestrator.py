@@ -129,6 +129,8 @@ class Orchestrator:
         self.codec = codec if codec is not None else FakeMBECodec()
         self.metrics_sink = metrics_sink
 
+        self.channel_bandwidth = float(channel_bandwidth)
+        self.decoder_name = decoder
         self.rx = WidebandReceiver(sample_rate, [0.0] * slots,
                                    channel_bandwidth=channel_bandwidth,
                                    decoder=decoder)
@@ -200,6 +202,59 @@ class Orchestrator:
             if slot.active:
                 self._tune(slot.index,
                            slot.frequency_hz - self.center_frequency_hz)
+
+    def on_source_event(self, event) -> None:
+        """React to tuner notifications — the PolyphaseChannelManager
+        lifecycle (PolyphaseChannelManager.java:328 process(SourceEvent)):
+        a center-frequency or sample-rate change rebuilds the runtime
+        channel plan; out-of-coverage channels are torn down."""
+        from ..sources.tuner import SourceEventType
+        if event.type == SourceEventType.FREQUENCY_CHANGE:
+            self.retune(float(event.value))
+        elif event.type == SourceEventType.SAMPLE_RATE_CHANGE:
+            self.set_sample_rate(float(event.value))
+
+    def retune(self, new_center_frequency_hz: float) -> None:
+        """Tuner moved: remap every active slot's absolute frequency to
+        an offset in the new capture; slots that fall outside coverage
+        are torn down (the reference stops their channels with an error
+        state)."""
+        self.center_frequency_hz = float(new_center_frequency_hz)
+        ch = self.rx.channelizer
+        half_span = ch.channels * ch.channel_spacing / 2
+        for slot in self.slots:
+            if not slot.active:
+                continue
+            offset = slot.frequency_hz - self.center_frequency_hz
+            if abs(offset) > half_span:
+                if slot.is_control:
+                    raise ValueError(
+                        f"retune to {new_center_frequency_hz} drops the "
+                        f"control channel at {slot.frequency_hz}")
+                slot.processor.flush(self.now)
+                self.audio_segments.extend(slot.processor.drain_audio())
+                slot.active = False
+                self.skipped_grants.append(slot.frequency_hz)
+                continue
+            self._tune(slot.index, offset)
+
+    def set_sample_rate(self, new_sample_rate: float) -> None:
+        """Tuner sample rate changed: rebuild the channelizer + jitted
+        step for the new grid, then remap all active slots (the
+        reference tears the whole polyphase down and recreates it)."""
+        slots = len(self.slots)
+        self.sample_rate = float(new_sample_rate)
+        self.rx = WidebandReceiver(
+            self.sample_rate, [0.0] * slots,
+            channel_bandwidth=self.channel_bandwidth,
+            decoder=self.decoder_name)
+        self.step = self.rx.build_dynamic()
+        self.state = self.rx.init_state()
+        m = self.rx.channelizer.channels
+        self.chunk_samples = 16 * m
+        self.bins = np.zeros((slots, 2), np.int32)
+        self.steps = np.zeros(slots, np.float32)
+        self.retune(self.center_frequency_hz)
 
     def _free_slot(self) -> ChannelSlot | None:
         for slot in self.slots:
