@@ -28,7 +28,8 @@ from ..edac.trellis import (TRELLIS_1_2_P25, TRELLIS_3_4_P25,
 
 __all__ = ["PDUHeader", "DataBlock", "PDUSequence", "pdu_decode_header",
            "pdu_decode_block", "pdu_encode_header", "pdu_encode_block",
-           "assemble_packet", "build_packet_blocks", "FORMATS", "SAP_NAMES"]
+           "assemble_packet", "build_packet_blocks", "pdu_dispatch",
+           "FORMATS", "SAP_NAMES"]
 
 # reference/PDUFormat.java
 FORMATS = {
@@ -213,6 +214,19 @@ def assemble_packet(seq: PDUSequence) -> tuple[bytes, bool] | None:
     if n_pad:
         octets = octets[:-n_pad] if n_pad < len(octets) else octets[:0]
     return bytes(octets), crc_ok
+
+
+def pdu_dispatch(header: PDUHeader, payload: bytes):
+    """Route an assembled PDU packet payload to the application layer by
+    SAP, like the reference's PDUMessageFactory routing packet data into
+    module/decode/ip (PacketMessageFactory.java).  SAP 4 (PACKET_DATA)
+    carries IPV4; SNDCP control and others return None (typed header
+    only)."""
+    if header.sap in (0, 4) and len(payload) >= 20 \
+            and (payload[0] >> 4) == 4:
+        from ..ip import parse_ipv4
+        return parse_ipv4(payload)
+    return None
 
 
 def build_packet_blocks(octets: bytes, confirmed: bool,

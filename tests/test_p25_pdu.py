@@ -184,3 +184,36 @@ def test_lc_opcode_table():
     assert lc2.fields["bandwidth_khz"] == pytest.approx(12.5)
     assert lc2.fields["channel_spacing_khz"] == pytest.approx(12.5)
     assert lc2.fields["base_frequency_mhz"] == pytest.approx(850.0)
+
+
+def test_pdu_ip_dispatch_lrrp():
+    """P25 packet data routes into the IP stack: assembled SAP-4 payload
+    carrying IPV4/UDP/LRRP parses end-to-end (PacketMessageFactory
+    routing parity)."""
+    from sdrtrunk_tpu.protocol.ip import ipv4_checksum
+    from sdrtrunk_tpu.protocol.p25p1.pdu import PDUSequence, pdu_dispatch
+
+    lrrp = bytes([0x0D, 3, 0x6C, 0x01, 0x2C])      # TRIGGERED + SPEED
+    udp = bytes([0x0F, 0xA1, 0x0F, 0xA1,           # 4001 -> 4001
+                 0, 8 + len(lrrp), 0, 0]) + lrrp
+    total = 20 + len(udp)
+    hdr = bytearray([0x45, 0, total >> 8, total & 0xFF, 0, 0, 0, 0,
+                     64, 17, 0, 0, 10, 0, 0, 9, 10, 0, 0, 8])
+    csum = ipv4_checksum(bytes(hdr))
+    hdr[10], hdr[11] = csum >> 8, csum & 0xFF
+    datagram = bytes(hdr) + udp
+
+    blocks, n_blocks, pad = build_packet_blocks(datagram, confirmed=True)
+    header_bits = pdu_encode_header(format=22, sap=4, llid=7,
+                                    blocks_to_follow=n_blocks,
+                                    confirmation=True, pad_octets=pad)
+    h = pdu_decode_header(header_bits)
+    seq = PDUSequence(header=h)
+    for b in blocks:
+        seq.blocks.append(pdu_decode_block(b, confirmed=True))
+    payload, crc_ok = assemble_packet(seq)
+    assert crc_ok and payload == datagram
+    pkt = pdu_dispatch(h, payload)
+    assert pkt is not None and pkt.header.protocol.name == "UDP"
+    assert pkt.application is not None
+    assert pkt.application.token("SPEED").fields["speed_mps"] == 3.0
