@@ -123,3 +123,48 @@ def test_cli_replay(tmp_path, capsys):
     lines = [json.loads(l) for l in
              capsys.readouterr().out.strip().splitlines()]
     assert lines[-1]["summary"] and lines[-1]["channels"] == 1
+
+
+def test_cli_replay_batched_digital(tmp_path, capsys):
+    """Two P25P1 channels in one capture decode through the vmapped
+    batched symbol-recovery path (one jit for the protocol group)."""
+    from sdrtrunk_tpu.protocol.p25p1.duid import DUID
+    from sdrtrunk_tpu.protocol.p25p1.framer import P25P1FrameAssembler
+    from sdrtrunk_tpu.protocol.p25p1.tsbk import tsbk_encode
+
+    fs = 400_000.0
+    center = 851_000_000.0
+    rng = np.random.default_rng(2)
+    asm = P25P1FrameAssembler(nac=0x293)
+    tsbk = asm.assemble(DUID.TSBK, tsbk_encode(
+        0x3A, rng.integers(0, 2, 64).astype(np.uint8)))
+    # long alternating outer-level preamble for timing/PLL acquisition,
+    # then the TSBK twice (either copy may land after convergence)
+    preamble = np.tile([1, 3], 150).astype(np.uint8)
+    dibits = np.concatenate([
+        preamble, tsbk, rng.integers(0, 4, 20).astype(np.uint8),
+        tsbk, rng.integers(0, 4, 20).astype(np.uint8)])
+    chan_iq = generators.c4fm_modulate(dibits, fs)
+    offs = [2 * 12500.0, -4 * 12500.0]
+    n = (len(chan_iq) // 32) * 32
+    t = np.arange(n)
+    wb = sum(chan_iq[:n] * np.exp(2j * np.pi * o * t / fs)
+             for o in offs).astype(np.complex64)
+    cap = tmp_path / "wb2.wav"
+    write_complex_wave(cap, wb, int(fs))
+    pl = Playlist(channels=[
+        ChannelConfig(name=f"P25-{i}",
+                      source=SourceConfig(frequency_hz=center + o),
+                      decode=DecodeConfig(decoder="p25p1", nac=0x293))
+        for i, o in enumerate(offs)])
+    ppath = tmp_path / "pl2.json"
+    pl.save(ppath)
+    rc = cli.main(["replay", str(cap), "--playlist", str(ppath),
+                   "--center-frequency", str(center)])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["channels"] == 2
+    tsbks = [l for l in lines if l.get("duid") == "TSBK" and l.get("valid")]
+    channels_seen = {l["channel"] for l in tsbks}
+    assert channels_seen == {"P25-0", "P25-1"}
