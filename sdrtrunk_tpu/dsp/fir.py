@@ -160,12 +160,20 @@ def resample_init(taps_len: int, up: int, dtype=jnp.float32) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("up", "down"))
 def polyphase_resample(x: jnp.ndarray, taps: jnp.ndarray, up: int, down: int,
                        state: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Rational-rate resampling by up/down using a polyphase filter bank.
+    """Rational-rate resampling by up/down (upfirdn semantics).
 
-    Equivalent to upfirdn(h, x, up, down): conceptually insert up-1 zeros,
-    filter, keep every down-th output — computed without materializing the
-    upsampled signal: out[m] uses phase (m*down) % up of the filter applied
-    to x at offset (m*down) // up.
+    y[m] = sum_j poly[(m*down) % up, j] * x[(m*down)//up - j] with
+    poly[p, j] = taps[j*up + p] — insert up-1 zeros, filter, keep every
+    down-th output.
+
+    Computed as zero-stuff + ONE strided convolution rather than a
+    (n_out, taps//up) constant-index window gather: XLA:TPU scalarizes
+    that gather into thousands of slice ops and compile time explodes
+    (round-2 measured: the 1023-way vmapped NBFM graph took 972 s to
+    compile, and this gather alone exceeded 300 s; the strided-conv form
+    compiles in seconds and batches over vmapped channels as a single
+    grouped conv). The zero-stuffed intermediate is (n+tpp)*up samples —
+    cheap — and the conv evaluates only the kept outputs via its stride.
 
     Streaming: pass `state` (last taps//up input samples, from
     resample_init / the tail of the previous block) and keep len(x) a
@@ -173,25 +181,25 @@ def polyphase_resample(x: jnp.ndarray, taps: jnp.ndarray, up: int, down: int,
     then chunked output concatenates to the one-shot result. New state is
     x[-taps//up:] (caller-maintained; see callers).
     """
-    taps = jnp.asarray(taps, x.dtype if not jnp.iscomplexobj(x) else jnp.float32)
+    taps = jnp.asarray(taps, jnp.float32)
     tpp = taps.shape[0] // up            # taps per phase
-    # poly[p, j] = taps[j*up + p]  (phase-major polyphase decomposition)
-    poly = taps.reshape(tpp, up).T       # (up, tpp)
-
     n_out = (x.shape[0] * up) // down
-    m = jnp.arange(n_out)
-    phase = (m * down) % up              # which polyphase branch
-    offset = (m * down) // up            # input index of newest sample
-
-    # window of tpp input samples ending at `offset` (newest-first order)
-    # y[m] = sum_j poly[phase, j] * x[offset - j]
     if state is None:
         state = jnp.zeros((tpp,), dtype=x.dtype)
-    xp = jnp.concatenate([state.astype(x.dtype), x])
-    idx = offset[:, None] + tpp - jnp.arange(tpp)[None, :]  # offset - j + tpp
-    windows = xp[idx]                                        # (n_out, tpp)
-    coeffs = poly[phase].astype(jnp.float32)                 # (n_out, tpp)
+    xp = jnp.concatenate([state.astype(x.dtype), x])         # (n + tpp,)
+
+    def _one_plane(v):
+        # zero-stuff: xu[i*up] = v[i]
+        xu = jnp.pad(v[:, None], ((0, 0), (0, up - 1))).reshape(-1)
+        # y[m] = sum_k taps[k] * xu[m*down + up*tpp - k]
+        #      = corr(xu, taps)[m*down + 1] with kernel length up*tpp,
+        # so a stride-`down` conv over xu[1:] emits exactly the kept taps
+        lhs = xu[1:][None, None, :]
+        rhs = taps[::-1][None, None, :].astype(v.dtype)
+        z = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(down,), padding="VALID")[0, 0]
+        return z[:n_out]
+
     if jnp.iscomplexobj(x):
-        return jax.lax.complex(jnp.sum(windows.real * coeffs, axis=-1),
-                               jnp.sum(windows.imag * coeffs, axis=-1))
-    return jnp.sum(windows * coeffs, axis=-1)
+        return jax.lax.complex(_one_plane(xp.real), _one_plane(xp.imag))
+    return _one_plane(xp)
