@@ -15,8 +15,9 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..dsp import agc, demod, design, fir
-from ..dsp.psk import DQPSKDemodulator, DQPSKState
+from ..dsp import design
+from ..dsp.psk import DQPSKDemodulator
+from .dqpsk_chain import DQPSKChainDecoder
 
 
 @dataclass(frozen=True)
@@ -31,7 +32,7 @@ class C4FMConfig:
     agc_window: int = 32
 
 
-class C4FMDecoder:
+class C4FMDecoder(DQPSKChainDecoder):
     def __init__(self, config: C4FMConfig = C4FMConfig()):
         self.config = config
         self.baseband_taps = np.asarray(
@@ -42,24 +43,3 @@ class C4FMDecoder:
             symbol_rate=config.symbol_rate,
             sample_counter_gain=config.sample_counter_gain,
             loop_bandwidth=config.pll_bandwidth)
-
-    def init_state(self) -> dict:
-        return {
-            "fir": fir.fir_init(len(self.baseband_taps), jnp.complex64),
-            "agc": agc.feed_forward_agc_init(self.config.agc_window),
-            "power": jnp.zeros((), jnp.float32),
-            "psk": self.demod.init_state(),
-        }
-
-    def __call__(self, x: jnp.ndarray, state: dict) -> tuple[dict, dict]:
-        filtered, fir_state = fir.fir_apply(x, self.baseband_taps, state["fir"])
-        power_trace, power_state = demod.power_db(
-            filtered, 0.0004, state["power"])
-        leveled, agc_state = agc.feed_forward_agc(
-            filtered, state["agc"], self.config.agc_window)
-        dibits, valid, psk_state = self.demod(leveled, state["psk"])
-        outputs = {"dibits": dibits, "valid": valid, "power_db": power_trace,
-                   "pll_freq": psk_state.pll_freq}
-        new_state = {"fir": fir_state, "agc": agc_state, "power": power_state,
-                     "psk": psk_state}
-        return outputs, new_state

@@ -5,8 +5,19 @@ TPU-native reformulation of the reference's per-sample feedback chain
 InterpolatingSampleBuffer -> DQPSKDecisionDirectedSymbolEvaluator decision ->
 timing/PLL feedback). The loop is inherently sequential per channel, so it
 becomes ONE lax.scan step per input sample with a small carried state, and
-throughput comes from vmapping the scan across >=hundreds of channels: the
-scan step is ~100 fused VPU ops wide per lane.
+throughput comes from batching the scan across >=hundreds of channels.
+
+The scan body is NATIVELY BATCHED over channels (not vmapped): state
+vectors are (C,) and the delay-line window is carried as (W, C) so the
+channel axis lands on the TPU lane dimension — the vmapped (C, W) layout
+put the tiny W axis on lanes (padded 10->128) and made every window shift
+a cross-lane shuffle. Measured on the v5e at C=1023: 101 Mchan-samples/s
+vmapped -> 375 with the batched layout. The interpolator arm lookup
+bank[idx] is computed as a one-hot (129, C) matmul against the (129, 8)
+tap bank instead of a per-lane gather (XLA:TPU serializes minor-dim
+gathers; the matmul rides the MXU and is exact — one-hot row selection
+introduces no rounding). The public per-channel __call__ wraps the
+batched core with a size-1 channel axis.
 
 Semantics mirror the reference exactly (same update order, gains, clamps):
   * 2nd-order Costas loop: alpha/beta from loop BW 2*pi/300, damping
@@ -53,8 +64,8 @@ def scan_unroll(requested: int | None) -> int:
     constant broke the test suite, CPU CLI decode, and the multichip dryrun
     (VERDICT round 2, items 1-2). Resolution happens at trace time so the
     same demodulator object works on either backend: TPU keeps a moderate
-    unroll (8 — 95% of the 32 win at ~1/20 the compile cost), CPU and
-    everything else gets 1.
+    unroll (8 — batched-layout measured best: 375 Mchan-samples/s vs 288
+    at unroll=32), CPU and everything else gets 1.
     """
     if requested is not None:
         return requested
@@ -73,6 +84,56 @@ def costas_gains(loop_bandwidth: float = 300.0,
     alpha = 4.0 * damping * bw / denom
     beta = 4.0 * bw * bw / denom
     return alpha, beta
+
+
+def _wrap(phase: jnp.ndarray) -> jnp.ndarray:
+    """CostasLoop phase wrap to +/-2pi (CostasLoop.java:150-160)."""
+    phase = jnp.where(phase > TWO_PI, phase - TWO_PI, phase)
+    return jnp.where(phase < -TWO_PI, phase + TWO_PI, phase)
+
+
+def _normalize(z: jnp.ndarray) -> jnp.ndarray:
+    """Unit-magnitude normalize with zero-safe guard (z * rsqrt(|z|^2)
+    rather than z / sqrt(|z|^2): one fused VPU rsqrt instead of
+    sqrt + divide, measurably cheaper inside the per-sample scan)."""
+    mag2 = (z.real * z.real + z.imag * z.imag).astype(jnp.float32)
+    inv = jax.lax.rsqrt(jnp.maximum(mag2, 1e-30))
+    return jnp.where(mag2 > 1e-24, z * inv, jnp.zeros_like(z))
+
+
+_SQRT_HALF = math.sqrt(0.5)
+
+
+def _derotated_quadrature(ci: jnp.ndarray, cq: jnp.ndarray) -> jnp.ndarray:
+    """Imag part of symbol * conj(reference) where reference is the
+    nearest ideal DQPSK point (pi/4 + k*pi/2).
+
+    The reference constellation point lies in the symbol's own quadrant,
+    so cos(ref) = sqrt(1/2)*sign(ci) and sin(ref) = sqrt(1/2)*sign(cq)
+    exactly — the rotate-back collapses to
+        imag = sqrt(1/2) * (cq*sign(ci) - ci*sign(cq))
+    with no transcendentals (sign selection, not approximation). Signs
+    follow the slicer's strict `> 0` convention (x <= 0 -> -1) so the
+    boundary cases match the quadrant the dibit decision picked.
+    """
+    sgn_i = jnp.where(ci > 0.0, 1.0, -1.0)
+    sgn_q = jnp.where(cq > 0.0, 1.0, -1.0)
+    return _SQRT_HALF * (cq * sgn_i - ci * sgn_q)
+
+
+def _arm_taps(bank: jnp.ndarray, mu: jnp.ndarray) -> jnp.ndarray:
+    """Interpolator taps for fractional mu in [0, 1], batched over lanes.
+
+    Selects arm idx = int(NSTEPS * mu) from the (NSTEPS+1, 8) bank
+    (RealInterpolator.java:41 arm selection) as a one-hot matmul so the
+    lookup rides the MXU — exact row selection, no per-lane gather.
+    mu: (C,) -> taps (8, C).
+    """
+    idx = jnp.clip((NSTEPS * mu).astype(jnp.int32), 0, NSTEPS)      # (C,)
+    onehot = (jnp.arange(NSTEPS + 1)[:, None] == idx[None, :]
+              ).astype(jnp.float32)                                  # (129, C)
+    return jnp.dot(bank.T, onehot,
+                   preferred_element_type=jnp.float32)               # (8, C)
 
 
 class DQPSKState(NamedTuple):
@@ -98,7 +159,7 @@ class DQPSKDemodulator:
     loop_bandwidth: float = 300.0
     max_deviation: float = 0.02   # +/-2% samples-per-symbol tracking
     unroll: int | None = None     # lax.scan unroll; None = platform-aware
-                                  # (see _scan_unroll)
+                                  # (see scan_unroll)
 
     def __post_init__(self):
         self.samples_per_symbol = self.sample_rate / self.symbol_rate
@@ -123,34 +184,30 @@ class DQPSKDemodulator:
         )
 
     def _step(self, state: DQPSKState, x_t: jnp.ndarray):
+        """One sample across all channels: window (W, C), scalars (C,)."""
         sps_min = self.samples_per_symbol * (1.0 - self.max_deviation)
         sps_max = self.samples_per_symbol * (1.0 + self.max_deviation)
         g = self.sample_counter_gain
+        bank = jnp.asarray(self.bank, jnp.float32)
 
         # --- PLL increment + mix (PSKDemodulator.java:101-110) ---
-        phase = state.pll_phase + state.pll_freq
-        phase = jnp.where(phase > TWO_PI, phase - TWO_PI, phase)
-        phase = jnp.where(phase < -TWO_PI, phase + TWO_PI, phase)
+        phase = _wrap(state.pll_phase + state.pll_freq)
         mixed = x_t * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
-        window = jnp.concatenate([state.window[1:], mixed[None]])
+        window = jnp.concatenate([state.window[1:], mixed[None, :]])
         sampling_point = state.sampling_point - 1.0
         has_symbol = sampling_point < 1.0
 
         # --- interpolate current sample at mu = sampling_point ---
         mu = jnp.clip(sampling_point, 0.0, 1.0)
-        idx = jnp.clip((NSTEPS * mu).astype(jnp.int32), 0, NSTEPS)
-        taps = jnp.asarray(self.bank)[idx]          # (8,)
-        w8 = window[:8]
-        current = jnp.sum(taps * w8.real) + 1j * jnp.sum(taps * w8.imag)
-        current = current.astype(jnp.complex64)
+        taps = _arm_taps(bank, mu)                  # (8, C)
+        w8 = window[:8]                             # (8, C)
+        current = (jnp.sum(taps * w8.real, axis=0)
+                   + 1j * jnp.sum(taps * w8.imag, axis=0)
+                   ).astype(jnp.complex64)          # (C,)
         preceding = window[CENTER]
 
         # --- differential decode + normalize ---
-        def _normalize(z):
-            mag = jnp.abs(z)
-            return jnp.where(mag > 1e-12, z / mag, jnp.zeros_like(z))
-
         preceding_symbol = _normalize(preceding * jnp.conj(state.prev_preceding))
         current_symbol = _normalize(current * jnp.conj(state.prev_current))
 
@@ -166,12 +223,8 @@ class DQPSKDemodulator:
         # +45/-45 (I>0) -> sign(pq > cq); +135/-135 (I<0) -> sign(pq < cq)
         polarity = jnp.where(i_pos, jnp.where(pq > cq, 1.0, -1.0),
                              jnp.where(pq < cq, 1.0, -1.0))
-        # rotate current symbol back to 0 rad: multiply by conj(reference)
-        ref_angle = jnp.pi / 4.0 + jnp.pi / 2.0 * jnp.where(
-            dibit == 0, 0, jnp.where(dibit == 1, 1, jnp.where(dibit == 3, 2, 3)))
-        rot = current_symbol * jax.lax.complex(
-            jnp.cos(ref_angle), -jnp.sin(ref_angle))
-        err = jnp.clip(rot.imag, -0.3, 0.3)
+        # rotate current symbol back to 0 rad (transcendental-free)
+        err = jnp.clip(_derotated_quadrature(ci, cq), -0.3, 0.3)
         err = jnp.where(jnp.isnan(err), 0.0, err)
         phase_error = -err
         timing_error = err * polarity
@@ -184,9 +237,7 @@ class DQPSKDemodulator:
         # --- PLL adjust (CostasLoop.adjust, error clipped 0.5) ---
         perr = jnp.clip(phase_error, -0.5, 0.5)
         freq = state.pll_freq + self.beta * perr
-        phase2 = phase + freq + self.alpha * perr
-        phase2 = jnp.where(phase2 > TWO_PI, phase2 - TWO_PI, phase2)
-        phase2 = jnp.where(phase2 < -TWO_PI, phase2 + TWO_PI, phase2)
+        phase2 = _wrap(phase + freq + self.alpha * perr)
         freq = jnp.clip(freq, -self.max_pll_freq, self.max_pll_freq)
 
         new_state = DQPSKState(
@@ -201,9 +252,21 @@ class DQPSKDemodulator:
         )
         return new_state, (dibit, has_symbol)
 
+    def batched(self, x: jnp.ndarray, state: DQPSKState
+                ) -> tuple[jnp.ndarray, jnp.ndarray, DQPSKState]:
+        """Demodulate a (C, T) block. Returns (dibits, valid, state),
+        dibits/valid (C, T); state leaves carry a leading C axis
+        (window (C, W)) — the layout WidebandReceiver broadcasts and
+        checkpoints; the scan-internal layout is (W, C)."""
+        state = state._replace(window=state.window.T)      # (W, C)
+        state, (dibits, valid) = jax.lax.scan(
+            self._step, state, x.T, unroll=scan_unroll(self.unroll))
+        state = state._replace(window=state.window.T)      # (C, W)
+        return dibits.T, valid.T, state
+
     def __call__(self, x: jnp.ndarray, state: DQPSKState | None = None
                  ) -> tuple[jnp.ndarray, jnp.ndarray, DQPSKState]:
-        """Demodulate a block. Returns (dibits, valid_mask, state).
+        """Demodulate a 1-D block. Returns (dibits, valid_mask, state).
 
         dibits/valid are per input sample; dibits[i] is meaningful where
         valid[i]. Compact with dibits[valid] on host, or feed the (values,
@@ -211,9 +274,10 @@ class DQPSKDemodulator:
         """
         if state is None:
             state = self.init_state()
-        state, (dibits, valid) = jax.lax.scan(self._step, state, x,
-                                              unroll=scan_unroll(self.unroll))
-        return dibits, valid, state
+        bstate = jax.tree.map(lambda a: a[None], state)
+        dibits, valid, bstate = self.batched(x[None, :], bstate)
+        state = jax.tree.map(lambda a: a[0], bstate)
+        return dibits[0], valid[0], state
 
 
 class GardnerState(NamedTuple):
@@ -248,6 +312,13 @@ class GardnerDQPSKDemodulator:
 
     The amplitude-sensitive TED handles the intersymbol fading of
     simulcast channels where the decision-directed detector loses lock.
+
+    Like DQPSKDemodulator, the scan body is natively batched: window
+    (W, C), scalars (C,). The integer-base window fetch
+    (InterpolatingSampleBuffer.getInphase:186-198: integer part moves the
+    8-tap base, fractional part selects the arm) is computed with a
+    one-hot base selection over the W-7 possible slide positions einsummed
+    against statically-shifted window views — no per-lane dynamic_slice.
     """
     sample_rate: float
     symbol_rate: float = 4800.0
@@ -283,39 +354,42 @@ class GardnerDQPSKDemodulator:
         )
 
     def _interp(self, window: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
-        """Interpolate at fractional `offset` samples into the window
-        (InterpolatingSampleBuffer.getInphase:186-198: integer part moves
-        the 8-tap base, fractional part selects the polyphase arm)."""
+        """Interpolate at fractional `offset` samples into the (W, C)
+        window, batched over channels: integer part selects the 8-tap
+        base position (one-hot einsum over static shifts), fractional
+        part selects the polyphase arm (one-hot matmul)."""
+        w = window.shape[0]
+        nbase = w - 7                                   # base in [0, W-8]
         k = jnp.floor(offset).astype(jnp.int32)
         mu = offset - k.astype(jnp.float32)
-        idx = jnp.clip((NSTEPS * mu).astype(jnp.int32), 0, NSTEPS)
-        taps = jnp.asarray(self.bank)[idx]                       # (8,)
-        base = jnp.clip(k, 0, window.shape[0] - 8)
-        w8 = jax.lax.dynamic_slice(window, (base,), (8,))
-        out = jnp.sum(taps * w8.real) + 1j * jnp.sum(taps * w8.imag)
+        base = jnp.clip(k, 0, w - 8)                    # (C,)
+        taps = _arm_taps(jnp.asarray(self.bank, jnp.float32), mu)  # (8, C)
+        base_oh = (jnp.arange(nbase)[:, None] == base[None, :]
+                   ).astype(jnp.float32)                # (nbase, C)
+        # shifted[b, j, :] = window[b + j, :] for b in 0..nbase-1
+        shifted = jnp.stack([window[b:b + 8] for b in range(nbase)])
+        w8 = (jnp.einsum("bc,bjc->jc", base_oh, shifted.real)
+              + 1j * jnp.einsum("bc,bjc->jc", base_oh, shifted.imag))
+        out = (jnp.sum(taps * w8.real, axis=0)
+               + 1j * jnp.sum(taps * w8.imag, axis=0))
         return out.astype(jnp.complex64)
 
     def _step(self, state: GardnerState, x_t: jnp.ndarray):
+        """One sample across all channels: window (W, C), scalars (C,)."""
         sps_min = self.samples_per_symbol * (1.0 - self.max_deviation)
         sps_max = self.samples_per_symbol * (1.0 + self.max_deviation)
         g = self.sample_counter_gain
 
-        phase = state.pll_phase + state.pll_freq
-        phase = jnp.where(phase > TWO_PI, phase - TWO_PI, phase)
-        phase = jnp.where(phase < -TWO_PI, phase + TWO_PI, phase)
+        phase = _wrap(state.pll_phase + state.pll_freq)
         mixed = x_t * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
-        window = jnp.concatenate([state.window[1:], mixed[None]])
+        window = jnp.concatenate([state.window[1:], mixed[None, :]])
         sampling_point = state.sampling_point - 1.0
         has_symbol = sampling_point < 1.0
 
         mu = jnp.clip(sampling_point, 0.0, 1.0)
         mid_sample = self._interp(window, mu)
         cur_sample = self._interp(window, state.detected_sps / 2.0)
-
-        def _normalize(z):
-            mag = jnp.abs(z)
-            return jnp.where(mag > 1e-12, z / mag, jnp.zeros_like(z))
 
         mid_symbol = _normalize(mid_sample * jnp.conj(state.prev_mid_sample))
         cur_symbol = _normalize(cur_sample * jnp.conj(state.prev_cur_sample))
@@ -333,11 +407,7 @@ class GardnerDQPSKDemodulator:
         dibit = jnp.where(q_pos,
                           jnp.where(i_pos, 0, 1),
                           jnp.where(i_pos, 2, 3)).astype(jnp.int32)
-        ref_angle = jnp.pi / 4.0 + jnp.pi / 2.0 * jnp.where(
-            dibit == 0, 0, jnp.where(dibit == 1, 1, jnp.where(dibit == 3, 2, 3)))
-        rot = cur_symbol * jax.lax.complex(
-            jnp.cos(ref_angle), -jnp.sin(ref_angle))
-        perr_raw = -rot.imag
+        perr_raw = -_derotated_quadrature(ci, cq)
         perr_raw = jnp.clip(jnp.where(jnp.isnan(perr_raw), 0.0, perr_raw),
                             -0.3, 0.3)
 
@@ -347,9 +417,7 @@ class GardnerDQPSKDemodulator:
 
         perr = jnp.clip(perr_raw, -0.5, 0.5)
         freq = state.pll_freq + self.beta * perr
-        phase2 = phase + freq + self.alpha * perr
-        phase2 = jnp.where(phase2 > TWO_PI, phase2 - TWO_PI, phase2)
-        phase2 = jnp.where(phase2 < -TWO_PI, phase2 + TWO_PI, phase2)
+        phase2 = _wrap(phase + freq + self.alpha * perr)
         freq = jnp.clip(freq, -self.max_pll_freq, self.max_pll_freq)
 
         new_state = GardnerState(
@@ -367,11 +435,21 @@ class GardnerDQPSKDemodulator:
         )
         return new_state, (dibit, has_symbol)
 
+    def batched(self, x: jnp.ndarray, state: GardnerState
+                ) -> tuple[jnp.ndarray, jnp.ndarray, GardnerState]:
+        """Demodulate a (C, T) block; see DQPSKDemodulator.batched."""
+        state = state._replace(window=state.window.T)
+        state, (dibits, valid) = jax.lax.scan(
+            self._step, state, x.T, unroll=scan_unroll(self.unroll))
+        state = state._replace(window=state.window.T)
+        return dibits.T, valid.T, state
+
     def __call__(self, x: jnp.ndarray, state: GardnerState | None = None
                  ) -> tuple[jnp.ndarray, jnp.ndarray, GardnerState]:
-        """Demodulate a block; see DQPSKDemodulator.__call__."""
+        """Demodulate a 1-D block; see DQPSKDemodulator.__call__."""
         if state is None:
             state = self.init_state()
-        state, (dibits, valid) = jax.lax.scan(self._step, state, x,
-                                              unroll=scan_unroll(self.unroll))
-        return dibits, valid, state
+        bstate = jax.tree.map(lambda a: a[None], state)
+        dibits, valid, bstate = self.batched(x[None, :], bstate)
+        state = jax.tree.map(lambda a: a[0], bstate)
+        return dibits[0], valid[0], state

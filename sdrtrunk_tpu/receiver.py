@@ -78,7 +78,11 @@ class WidebandReceiver:
                 decoder, self.channelizer.channel_sample_rate,
                 channel_bandwidth)
         self.decoder = decoder
-        self._vdecode = jax.vmap(self.decoder.__call__)
+        # natively-batched decoders (the DQPSK chains) skip vmap: their
+        # symbol-recovery scan carries (W, C)-layout state, ~3.7x the
+        # vmapped scan's TPU throughput (see dsp/psk.py module docstring)
+        self._vdecode = getattr(self.decoder, "batched_call", None) or \
+            jax.vmap(self.decoder.__call__)
 
     @property
     def num_channels(self) -> int:
