@@ -371,8 +371,10 @@ def main():
         m, blocks, iters = 64, 128, 3
         c4fm_blocks = 64
     else:
-        m, blocks, iters = 1024, 1250, 10
-        c4fm_blocks = 1250
+        # 1280 blocks -> per-channel T = 2560 (divisible by 8) so the
+        # digital legs take the Pallas symbol-recovery kernel path
+        m, blocks, iters = 1024, 1280, 10
+        c4fm_blocks = 1280
 
     profile_dir = "/tmp/sdrtrunk_tpu_trace" if profile else None
     nbfm, rx = bench_receiver("nbfm", m, blocks, iters, "audio",

@@ -160,6 +160,10 @@ class DQPSKDemodulator:
     max_deviation: float = 0.02   # +/-2% samples-per-symbol tracking
     unroll: int | None = None     # lax.scan unroll; None = platform-aware
                                   # (see scan_unroll)
+    impl: str = "auto"            # batched() backend: "auto" picks the
+                                  # Pallas kernel on TPU (dsp/pallas_psk.py)
+                                  # and the XLA scan on CPU; "xla"/"pallas"
+                                  # force a path
 
     def __post_init__(self):
         self.samples_per_symbol = self.sample_rate / self.symbol_rate
@@ -257,7 +261,24 @@ class DQPSKDemodulator:
         """Demodulate a (C, T) block. Returns (dibits, valid, state),
         dibits/valid (C, T); state leaves carry a leading C axis
         (window (C, W)) — the layout WidebandReceiver broadcasts and
-        checkpoints; the scan-internal layout is (W, C)."""
+        checkpoints; the scan-internal layout is (W, C).
+
+        Dispatches to the Pallas sequential kernel on TPU (`impl`)."""
+        if self.impl != "xla":
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "cpu"
+            if self.impl == "pallas" or backend not in ("cpu",):
+                from .pallas_psk import dqpsk_pallas_batched
+                out = dqpsk_pallas_batched(self, x, state)
+                if out is not None:
+                    return out
+        return self._scan_batched(x, state)
+
+    def _scan_batched(self, x: jnp.ndarray, state: DQPSKState
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, DQPSKState]:
+        """XLA lax.scan implementation of batched() (CPU path / fallback)."""
         state = state._replace(window=state.window.T)      # (W, C)
         state, (dibits, valid) = jax.lax.scan(
             self._step, state, x.T, unroll=scan_unroll(self.unroll))
@@ -275,7 +296,10 @@ class DQPSKDemodulator:
         if state is None:
             state = self.init_state()
         bstate = jax.tree.map(lambda a: a[None], state)
-        dibits, valid, bstate = self.batched(x[None, :], bstate)
+        # per-channel path always uses the XLA scan: it is routinely
+        # wrapped in an outer jax.vmap (tests, generic receivers), and
+        # pallas_call has no batching rule
+        dibits, valid, bstate = self._scan_batched(x[None, :], bstate)
         state = jax.tree.map(lambda a: a[0], bstate)
         return dibits[0], valid[0], state
 

@@ -95,9 +95,15 @@ class DMRFramer:
         self._carry = np.zeros(0, dtype=np.uint8)
         self._carry_offset = 0
         self._patterns = {p: from_int(v, 48) for p, v in SYNC_VALUES.items()}
-        self._voice_follow: dict[int, tuple[int, DMRSyncPattern]] = {}
         # max lookahead: one burst + 5 voice continuation bursts
         self._max_span_dibits = (BURST_BITS // 2) * 7
+        # absolute dibit position of the last emitted burst: the carry
+        # always retains the full lookahead window (voice frames B..F
+        # carry EMB instead of sync and are only found by the stride walk
+        # from frame A's sync, so frame A must stay in the buffer until
+        # its superframe completes even across chunked process() calls);
+        # re-found bursts are deduplicated against this watermark
+        self._emitted_until = -1
 
     def process(self, dibits: np.ndarray) -> list[DMRBurstFrame]:
         stream = np.concatenate([self._carry,
@@ -138,17 +144,20 @@ class DMRFramer:
                     claimed = vstart
 
         frames.sort(key=lambda f: f.start)
-        # dedupe overlapping (voice continuation vs explicit sync)
+        # dedupe overlapping (voice continuation vs explicit sync) and
+        # bursts already emitted by a previous chunked call
         unique: list[DMRBurstFrame] = []
         for f in frames:
+            if self._emitted_until >= 0 \
+                    and f.start < self._emitted_until + BURST_BITS // 2:
+                continue
             if unique and f.start < unique[-1].start + BURST_BITS // 2:
                 continue
             unique.append(f)
+        if unique:
+            self._emitted_until = unique[-1].start
 
-        consumed_dibits = ((unique[-1].start - base) + BURST_BITS // 2
-                           if unique else 0)
-        keep_from = max(consumed_dibits,
-                        len(stream) - self._max_span_dibits)
+        keep_from = max(0, len(stream) - self._max_span_dibits)
         self._carry = stream[keep_from:]
         self._carry_offset = base + keep_from
         return unique

@@ -27,61 +27,23 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..audio.mbe import FakeMBECodec, MBEAudioModule, MBECodec
-from ..protocol.p25p1.framer import P25P1Framer
-from ..protocol.p25p1.messages import decode_frame
+from ..audio.mbe import FakeMBECodec, MBECodec
 from ..receiver import WidebandReceiver
 from .events import DecodeEvent
 from .identifiers import IdentifierCollection
-from .metrics import ChannelMetrics, FrequencyErrorMonitor
-from .p25_state import P25P1DecoderState
+from .metrics import FrequencyErrorMonitor
+from .processors import (P25P1ChannelProcessor, P25P2ChannelProcessor,
+                         make_channel_processor)
 from .traffic import TrafficChannelManager
 
 __all__ = ["ChannelSlot", "P25P1ChannelProcessor", "Orchestrator"]
 
-
-class P25P1ChannelProcessor:
-    """Host-side per-slot pipeline: dibits -> frames -> messages ->
-    decoder state -> audio segments (the message half of a reference
-    ProcessingChain for a P25P1 channel, DecoderFactory.java:185-232)."""
-
-    protocol = "APCO25"
-
-    def __init__(self, traffic: TrafficChannelManager | None = None,
-                 codec: MBECodec | None = None,
-                 preload: IdentifierCollection | None = None):
-        self.framer = P25P1Framer()
-        self.audio = MBEAudioModule(codec=codec)
-        self.metrics = ChannelMetrics()
-        self.state = P25P1DecoderState(traffic=traffic, audio=self.audio)
-        if preload is not None:
-            # Traffic-channel preload data: the grant's identifiers are
-            # known before the first frame decodes
-            # (ChannelProcessingManager.java:403-468 preload posts).
-            self.state.identifiers.update_all(preload.all())
-        self.messages: list = []
-        self.frame_count = 0
-
-    def process(self, dibits: np.ndarray, now: float) -> int:
-        """Consume one chunk of recovered dibits; returns frames decoded."""
-        frames = self.framer.process(dibits)
-        self.metrics.update(len(dibits), frames)
-        for frame in frames:
-            msg = decode_frame(frame)
-            self.messages.append(msg)
-            self.metrics.message(msg.valid)
-            self.state.receive(msg, now)
-        self.frame_count += len(frames)
-        return len(frames)
-
-    def drain_audio(self):
-        done = self.audio.completed
-        self.audio.completed = []
-        return done
-
-    def flush(self, now: float) -> None:
-        if self.audio.segment is not None:
-            self.audio.end_call(now)
+# decoder kind -> traffic-manager protocol label
+_PROTOCOL_LABELS = {
+    "c4fm": "APCO25", "p25p1": "APCO25", "lsm": "APCO25",
+    "p25p1-lsm": "APCO25", "dmr": "DMR", "p25p2": "APCO25-P2",
+    "nbfm": "NBFM", "am": "AM",
+}
 
 
 @dataclass
@@ -138,7 +100,7 @@ class Orchestrator:
         self.state = self.rx.init_state()
         m = self.rx.channelizer.channels
         self.chunk_samples = (chunk_samples if chunk_samples is not None
-                              else 16 * m)
+                              else self._default_chunk(m))
         if self.chunk_samples % m != 0:
             raise ValueError(f"chunk_samples must be a multiple of {m}")
 
@@ -150,15 +112,16 @@ class Orchestrator:
 
         self.correction_ppm = 0.0
         self.traffic = TrafficChannelManager(
-            "APCO25", idle_teardown_seconds=idle_teardown_seconds,
+            _PROTOCOL_LABELS.get(decoder, decoder.upper()),
+            idle_teardown_seconds=idle_teardown_seconds,
             on_activate=self._activate, on_teardown=self._teardown)
         for i, off in enumerate(control_offsets_hz):
             slot = self.slots[i]
             slot.is_control = True
             slot.active = True
             slot.frequency_hz = self.center_frequency_hz + float(off)
-            slot.processor = P25P1ChannelProcessor(traffic=self.traffic,
-                                                   codec=self.codec)
+            slot.processor = make_channel_processor(
+                decoder, traffic=self.traffic, codec=self.codec)
             self._tune(i, float(off))
 
         self.now = 0.0
@@ -177,6 +140,17 @@ class Orchestrator:
                 on_correct=self._apply_ppm)
 
     # --- control plane -------------------------------------------------
+
+    def _default_chunk(self, m: int) -> int:
+        """Default wideband chunk: analog decoders resample per-channel
+        streams to 8 kHz, so the per-channel block length (2*chunk/m)
+        must be a multiple of the resampler's `down` factor for
+        block-periodic streaming (dsp/fir.polyphase_resample)."""
+        if self.decoder_name in ("nbfm", "am"):
+            down = getattr(self.rx.decoder, "down", 25)
+            # K = 2*chunk/m must be a multiple of `down`
+            return m * down if down % 2 else m * down // 2
+        return 16 * m
 
     def _tune(self, slot: int, offset_hz: float) -> None:
         # oscillator-error model: a tuner reading `ppm` high shifts every
@@ -251,7 +225,7 @@ class Orchestrator:
         self.step = self.rx.build_dynamic()
         self.state = self.rx.init_state()
         m = self.rx.channelizer.channels
-        self.chunk_samples = 16 * m
+        self.chunk_samples = self._default_chunk(m)
         self.bins = np.zeros((slots, 2), np.int32)
         self.steps = np.zeros(slots, np.float32)
         self.retune(self.center_frequency_hz)
@@ -283,8 +257,18 @@ class Orchestrator:
         slot.frequency_hz = frequency_hz
         slot.active = True
         slot.activated_at = self.now
-        slot.processor = P25P1ChannelProcessor(
-            traffic=None, codec=self.codec, preload=identifiers)
+        # P25P2 traffic channels need the scramble key the control
+        # channel learned (preload data, ChannelProcessingManager:403-468)
+        extra = {}
+        for s in self.slots:
+            if s.is_control and isinstance(s.processor,
+                                           P25P2ChannelProcessor) \
+                    and s.processor.state.scramble_key is not None:
+                extra["scramble_key"] = s.processor.state.scramble_key
+                break
+        slot.processor = make_channel_processor(
+            self.decoder_name, traffic=None, codec=self.codec,
+            preload=identifiers, **extra)
 
     def _teardown(self, frequency_hz: float) -> None:
         for slot in self.slots:
@@ -302,8 +286,13 @@ class Orchestrator:
         out, self.state = self.step(
             jnp.asarray(iq, jnp.complex64), self.state,
             jnp.asarray(self.bins), jnp.asarray(self.steps))
-        dib = np.asarray(out["dibits"])
-        val = np.asarray(out["valid"])
+        digital = "dibits" in out
+        if digital:
+            dib = np.asarray(out["dibits"])
+            val = np.asarray(out["valid"])
+        else:                                  # analog: gated 8 kHz audio
+            audio = np.asarray(out["audio"])
+            gate = np.asarray(out["audio_gate"])
         self.samples_processed += len(iq)
         self.now = self.samples_processed / self.sample_rate
 
@@ -321,8 +310,12 @@ class Orchestrator:
         for slot in self.slots:
             if not slot.active:
                 continue
-            n = slot.processor.process(dib[slot.index][val[slot.index]],
-                                       self.now)
+            if digital:
+                n = slot.processor.process(
+                    dib[slot.index][val[slot.index]], self.now)
+            else:
+                n = slot.processor.process_audio(
+                    audio[slot.index], gate[slot.index], self.now)
             frames += n
             if n and not slot.is_control:
                 # frames on a traffic channel = activity for teardown aging

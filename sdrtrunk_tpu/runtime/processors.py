@@ -1,0 +1,296 @@
+"""Per-slot host-side channel processors + the protocol registry.
+
+Role of the reference's DecoderFactory dispatch
+(module/decode/DecoderFactory.java:117-183): every protocol gets the same
+shaped module list — framer, decoder state, audio module(s), optional
+traffic manager — wired into a ProcessingChain. Here a ChannelProcessor
+is that module list for one slot of the orchestrator's slot bank: it
+consumes the DEVICE-produced outputs for its slot (dense dibits for
+digital protocols; squelch-gated audio for analog) and produces decode
+events, identifier updates, and AudioSegments.
+
+Processors implement:
+    process(dibits, now) -> frames      (digital protocols)
+    process_audio(audio, gate, now)     (analog protocols)
+    drain_audio() -> [AudioSegment]
+    flush(now)
+    frame_count / protocol attributes
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..audio.mbe import MBEAudioModule, MBECodec, MBEFrameType
+from ..audio.segments import AudioSegment
+from ..protocol.dmr.framer import DMRFramer
+from ..protocol.p25p1.framer import P25P1Framer
+from ..protocol.p25p1.messages import decode_frame
+from ..protocol.p25p2.framer import P25P2Framer
+from .identifiers import IdentifierCollection
+from .metrics import ChannelMetrics
+from .dmr_state import DMRDecoderState
+from .p25_state import P25P1DecoderState
+from .p25p2_state import P25P2DecoderState
+from .traffic import TrafficChannelManager
+
+__all__ = ["P25P1ChannelProcessor", "DMRChannelProcessor",
+           "P25P2ChannelProcessor", "NBFMChannelProcessor",
+           "AnalogAudioModule", "make_channel_processor",
+           "PROCESSOR_REGISTRY"]
+
+
+class P25P1ChannelProcessor:
+    """Host-side per-slot pipeline: dibits -> frames -> messages ->
+    decoder state -> audio segments (the message half of a reference
+    ProcessingChain for a P25P1 channel, DecoderFactory.java:185-232)."""
+
+    protocol = "APCO25"
+
+    def __init__(self, traffic: TrafficChannelManager | None = None,
+                 codec: MBECodec | None = None,
+                 preload: IdentifierCollection | None = None):
+        self.framer = P25P1Framer()
+        self.audio = MBEAudioModule(codec=codec)
+        self.metrics = ChannelMetrics()
+        self.state = P25P1DecoderState(traffic=traffic, audio=self.audio)
+        if preload is not None:
+            # Traffic-channel preload data: the grant's identifiers are
+            # known before the first frame decodes
+            # (ChannelProcessingManager.java:403-468 preload posts).
+            self.state.identifiers.update_all(preload.all())
+        self.messages: list = []
+        self.frame_count = 0
+
+    def process(self, dibits: np.ndarray, now: float) -> int:
+        """Consume one chunk of recovered dibits; returns frames decoded."""
+        frames = self.framer.process(dibits)
+        self.metrics.update(len(dibits), frames)
+        for frame in frames:
+            msg = decode_frame(frame)
+            self.messages.append(msg)
+            self.metrics.message(msg.valid)
+            self.state.receive(msg, now)
+        self.frame_count += len(frames)
+        return len(frames)
+
+    def drain_audio(self):
+        done = self.audio.completed
+        self.audio.completed = []
+        return done
+
+    def flush(self, now: float) -> None:
+        if self.audio.segment is not None:
+            self.audio.end_call(now)
+
+
+class DMRChannelProcessor:
+    """DMR slot pipeline: dibits -> burst framer -> two-timeslot decoder
+    state (runtime/dmr_state.py) -> AMBE audio per timeslot (the module
+    list DecoderFactory.java:345-392 builds for a DMR channel)."""
+
+    protocol = "DMR"
+
+    def __init__(self, traffic: TrafficChannelManager | None = None,
+                 codec: MBECodec | None = None,
+                 preload: IdentifierCollection | None = None,
+                 channel: str = ""):
+        self.framer = DMRFramer()
+        self.metrics = ChannelMetrics()
+        self.state = DMRDecoderState(traffic=traffic, codec=codec,
+                                     channel=channel)
+        if preload is not None:
+            for slot in self.state.slots.values():
+                slot.identifiers.update_all(preload.all())
+        self.frame_count = 0
+
+    def process(self, dibits: np.ndarray, now: float) -> int:
+        frames = self.framer.process(dibits)
+        self.metrics.update(len(dibits), frames)
+        for frame in frames:
+            self.state.receive(frame, now)
+        self.frame_count += len(frames)
+        return len(frames)
+
+    def drain_audio(self):
+        return self.state.drain_audio()
+
+    def flush(self, now: float) -> None:
+        for slot in self.state.slots.values():
+            if slot.audio.segment is not None:
+                slot.audio.end_call(now)
+
+
+class P25P2ChannelProcessor:
+    """P25 Phase 2 slot pipeline: dibits -> superframe framer (with the
+    scrambler feedback loop) -> MAC decoder state -> AMBE audio per TDMA
+    channel. The decoder state learns WACN/SYS/NAC from unscrambled
+    network-status MACs and drives the framer's scrambling sequence
+    (P25P2DecoderState.java / P25P2SuperFrameDetector pairing); traffic
+    channels receive the key as preload instead (scramble_key), the
+    ChannelProcessingManager.java:403-468 preload-data analog."""
+
+    protocol = "APCO25-P2"
+
+    def __init__(self, traffic: TrafficChannelManager | None = None,
+                 codec: MBECodec | None = None,
+                 preload: IdentifierCollection | None = None,
+                 scramble_key: tuple[int, int, int] | None = None):
+        self.framer = P25P2Framer()
+        self.metrics = ChannelMetrics()
+        self.audio = [MBEAudioModule(codec=codec,
+                                     frame_type=MBEFrameType.AMBE_72,
+                                     timeslot=ts) for ts in (0, 1)]
+        self.state = P25P2DecoderState(
+            traffic=traffic,
+            on_scramble_update=self.framer.set_scramble_parameters,
+            audio=self.audio)
+        if scramble_key is not None:
+            self.framer.set_scramble_parameters(*scramble_key)
+            self.state.scramble_key = tuple(scramble_key)
+        if preload is not None:
+            self.state.identifiers.update_all(preload.all())
+        self.frame_count = 0
+
+    def process(self, dibits: np.ndarray, now: float) -> int:
+        frags = self.framer.process(dibits)
+        self.metrics.update(len(dibits), frags)
+        for frag in frags:
+            self.state.receive_fragment(frag, now)
+        self.frame_count += len(frags)
+        return len(frags)
+
+    def drain_audio(self):
+        done = []
+        for module in self.audio:
+            done.extend(module.completed)
+            module.completed = []
+        return done
+
+    def flush(self, now: float) -> None:
+        for module in self.audio:
+            if module.segment is not None:
+                module.end_call(now)
+
+
+class AnalogAudioModule:
+    """Squelch-gated analog audio -> AudioSegment assembly: the role of
+    audio/AudioModule.java:44 (pass audio through while squelch is open)
+    plus AbstractAudioModule.java:85-120 (segment assembly). The NBFM/AM
+    decoders emit per-sample `audio` and `audio_gate` at 8 kHz; gate
+    rising edges open a segment, audio passes while open, and a gate that
+    stays closed for `hang_seconds` closes it (the reference's squelch
+    ramp-down). `max_seconds` force-splits marathon segments the way
+    AbstractAudioModule caps its sample count."""
+
+    def __init__(self, sample_rate: float = 8000.0,
+                 hang_seconds: float = 0.5, max_seconds: float = 30.0,
+                 identifiers=None):
+        self.sample_rate = float(sample_rate)
+        self.hang_samples = int(hang_seconds * sample_rate)
+        self.max_samples = int(max_seconds * sample_rate)
+        self.identifiers = list(identifiers) if identifiers else []
+        self.segment: AudioSegment | None = None
+        self.completed: list[AudioSegment] = []
+        self._closed_run = 0
+        self._segment_samples = 0
+
+    def receive(self, audio: np.ndarray, gate: np.ndarray,
+                now: float) -> None:
+        """One chunk of 8 kHz audio + per-sample squelch gate; `now` is
+        the sample-clock time of the END of the chunk."""
+        audio = np.asarray(audio, np.float32)
+        gate = np.asarray(gate, bool)
+        n = len(audio)
+        if n == 0:
+            return
+        t0 = now - n / self.sample_rate
+        # walk gate runs: contiguous open runs append; closed runs age
+        # the hang timer
+        edges = np.flatnonzero(np.diff(gate.astype(np.int8)))
+        starts = np.concatenate([[0], edges + 1])
+        ends = np.concatenate([edges + 1, [n]])
+        for s, e in zip(starts, ends):
+            if gate[s]:
+                if self.segment is None:
+                    self.segment = AudioSegment(
+                        start_time=t0 + s / self.sample_rate,
+                        sample_rate=self.sample_rate)
+                    self.segment.add_identifiers(self.identifiers)
+                    self._segment_samples = 0
+                self._closed_run = 0
+                self.segment.add_audio(audio[s:e])
+                self._segment_samples += e - s
+                if self._segment_samples >= self.max_samples:
+                    self._complete()
+            else:
+                self._closed_run += e - s
+                if self.segment is not None \
+                        and self._closed_run >= self.hang_samples:
+                    self._complete()
+
+    def _complete(self) -> None:
+        if self.segment is not None:
+            self.segment.complete_segment()
+            self.completed.append(self.segment)
+            self.segment = None
+            self._segment_samples = 0
+
+    def end_call(self, now: float) -> None:
+        self._complete()
+
+
+class NBFMChannelProcessor:
+    """Analog slot pipeline: the device graph already produced squelched
+    8 kHz audio + gate (decoders/nbfm.py); this host side only assembles
+    AudioSegments (the DecoderFactory.java:307-321 NBFM module list)."""
+
+    protocol = "NBFM"
+
+    def __init__(self, traffic=None, codec=None,
+                 preload: IdentifierCollection | None = None,
+                 sample_rate: float = 8000.0):
+        self.audio = AnalogAudioModule(
+            sample_rate=sample_rate,
+            identifiers=preload.all() if preload is not None else None)
+        self.metrics = ChannelMetrics()
+        self.frame_count = 0
+
+    def process_audio(self, audio: np.ndarray, gate: np.ndarray,
+                      now: float) -> int:
+        self.audio.receive(audio, gate, now)
+        self.metrics.update(len(audio), ())
+        return 0
+
+    def drain_audio(self):
+        done = self.audio.completed
+        self.audio.completed = []
+        return done
+
+    def flush(self, now: float) -> None:
+        self.audio.end_call(now)
+
+
+# decoder kind (receiver.make_channel_decoder names) -> processor class;
+# the dispatch table DecoderFactory.java:117-183 switches on DecoderType
+PROCESSOR_REGISTRY = {
+    "c4fm": P25P1ChannelProcessor,
+    "p25p1": P25P1ChannelProcessor,
+    "lsm": P25P1ChannelProcessor,          # same framing, Gardner demod
+    "p25p1-lsm": P25P1ChannelProcessor,
+    "dmr": DMRChannelProcessor,
+    "p25p2": P25P2ChannelProcessor,
+    "nbfm": NBFMChannelProcessor,
+    "am": NBFMChannelProcessor,            # same gated-audio assembly
+}
+
+
+def make_channel_processor(kind: str, **kwargs):
+    """Build the host-side processor for a decoder kind. kwargs pass
+    through to the processor (traffic/codec/preload/...)."""
+    try:
+        cls = PROCESSOR_REGISTRY[kind]
+    except KeyError:
+        raise ValueError(f"no channel processor for decoder {kind!r}")
+    import inspect
+    accepted = inspect.signature(cls.__init__).parameters
+    return cls(**{k: v for k, v in kwargs.items() if k in accepted})

@@ -7,14 +7,15 @@ import jax.numpy as jnp
 
 from sdrtrunk_tpu.protocol.dmr.burst import CACH, EMB, SlotType
 from sdrtrunk_tpu.protocol.dmr.csbk import csbk_decode, csbk_encode
-from sdrtrunk_tpu.protocol.dmr.framer import (DataType, DMRBurstAssembler,
-                                              DMRFramer)
+from sdrtrunk_tpu.protocol.dmr.framer import (VOICE_FRAME_ORDER, DataType,
+                                              DMRBurstAssembler, DMRFramer)
 from sdrtrunk_tpu.protocol.dmr.lc import (MASK_TERMINATOR, MASK_VOICE_HEADER,
                                           embedded_lc_decode,
                                           embedded_lc_encode,
                                           full_lc_decode, full_lc_encode,
                                           lc_build_group_voice)
 from sdrtrunk_tpu.protocol.dmr.sync import DMRSyncPattern
+from sdrtrunk_tpu.protocol.edac.bptc import bptc_196_96_encode
 
 
 def test_cach_roundtrip():
@@ -176,3 +177,36 @@ def test_dmr_4fsk_end_to_end():
         assert frame.content.opcode == opcode
         assert np.array_equal(frame.content.data, data)
         assert frame.slot_type.color_code == 2
+
+
+def test_framer_chunked_equals_oneshot():
+    """Voice frames B..F carry EMB instead of sync and are only reachable
+    by the stride walk from frame A — the framer must keep frame A in its
+    carry until the superframe completes, so feeding the stream in small
+    chunks (the orchestrator delivers ~100 dibits per step) must produce
+    exactly the one-shot frame sequence (round-3 regression: chunked
+    processing dropped every continuation burst)."""
+    rng = np.random.default_rng(9)
+    asm = DMRBurstAssembler(color_code=1)
+    ambe = rng.integers(0, 2, (3, 72)).astype(np.uint8)
+    lc = lc_build_group_voice(group=0x31, source=0x77)
+    vh = bptc_196_96_encode(full_lc_encode(lc, MASK_VOICE_HEADER))
+    bursts = [asm.data_burst(DMRSyncPattern.BASE_STATION_DATA,
+                             DataType.VOICE_HEADER, vh),
+              asm.voice_burst(DMRSyncPattern.BASE_STATION_VOICE, ambe)]
+    for vf in VOICE_FRAME_ORDER:
+        bursts.append(asm.voice_burst(vf, ambe))
+    dibits = np.concatenate([
+        rng.integers(0, 4, 33).astype(np.uint8),
+        DMRBurstAssembler.to_dibits(bursts),
+        rng.integers(0, 4, 40).astype(np.uint8)])
+
+    oneshot = DMRFramer().process(dibits)
+    chunked_framer = DMRFramer()
+    chunked = []
+    for i in range(0, len(dibits), 97):
+        chunked.append(chunked_framer.process(dibits[i:i + 97]))
+    chunked = [f for fs in chunked for f in fs]
+    assert [(f.start, f.content_kind) for f in chunked] == \
+           [(f.start, f.content_kind) for f in oneshot]
+    assert sum(1 for f in oneshot if f.content_kind == "voice") == 6

@@ -1,0 +1,354 @@
+"""Multi-protocol orchestrator integration (VERDICT round-2 item 4).
+
+The orchestrator's per-slot processor is protocol-dispatched
+(runtime/processors.py registry — the DecoderFactory.java:117-183 role);
+these tests drive each protocol family end-to-end through the SAME live
+loop the P25P1 suite exercises (tests/test_orchestrator.py):
+
+  * DMR: a synthetic TSCC broadcasts Tier III voice-channel-grant CSBKs;
+    the orchestrator activates a slot on the granted frequency, decodes
+    the AMBE voice superframe there, and the call becomes an
+    AudioSegment (DMRDecoderState + MBEAudioModule per timeslot).
+  * P25 Phase 2: the control carrier's unscrambled network-status MAC
+    teaches the scramble key; a MAC grant activates a traffic slot whose
+    framer is preloaded with that key, and scrambled VOICE_4 timeslots
+    become audio (the ChannelProcessingManager preload-data analog).
+  * NBFM: squelch-gated analog audio is assembled into AudioSegments
+    (audio/AudioModule.java:44 role) and reaches the playback manager.
+"""
+import numpy as np
+import pytest
+
+from sdrtrunk_tpu.protocol.bits import from_int
+from sdrtrunk_tpu.runtime.identifiers import IdentifierForm, IdentifierRole
+from sdrtrunk_tpu.runtime.orchestrator import Orchestrator
+from sdrtrunk_tpu.runtime.traffic import FrequencyBand
+from sdrtrunk_tpu.signal import generators
+
+CENTER_HZ = 460_000_000.0
+CONTROL_OFF = 25_000.0
+BASE_HZ = 460_100_000.0
+CHAN_NUM = 4
+TRAFFIC_OFF = BASE_HZ + CHAN_NUM * 12500.0 - CENTER_HZ   # +150 kHz
+GROUP = 0x222
+SOURCE = 0x333
+FS = 64 * 12500.0
+BAUD = 4800.0
+
+
+def _mix(streams, fs=FS, m=64):
+    """[(offset_hz, complex iq), ...] -> one wideband capture + source."""
+    n = min(len(iq) for _, iq in streams) // m * m
+    wide = np.zeros(n, np.complex64)
+    t = np.arange(n) / fs
+    for off, iq in streams:
+        wide += (iq[:n] * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        chunk = wide[pos:pos + num]
+        pos += num
+        return chunk if len(chunk) else None
+    return source
+
+
+def _pad(dibits, total, rng):
+    assert len(dibits) <= total, f"{len(dibits)} > {total}"
+    return np.concatenate(
+        [dibits, rng.integers(0, 4, total - len(dibits)).astype(np.uint8)])
+
+
+# --------------------------------------------------------------- DMR
+
+def _dmr_grant_csbk():
+    from sdrtrunk_tpu.protocol.dmr.csbk import csbk_encode
+    d = np.zeros(64, np.uint8)
+    d[0:12] = from_int(CHAN_NUM, 12)
+    d[12] = 0                                # timeslot 1
+    d[16:40] = from_int(GROUP, 24)
+    d[40:64] = from_int(SOURCE, 24)
+    return csbk_encode(0x31, d)              # TALKGROUP_VOICE_CHANNEL_GRANT
+
+
+@pytest.fixture(scope="module")
+def dmr_run():
+    from sdrtrunk_tpu.protocol.dmr.framer import (DataType,
+                                                  DMRBurstAssembler,
+                                                  VOICE_FRAME_ORDER)
+    from sdrtrunk_tpu.protocol.dmr.lc import (MASK_TERMINATOR,
+                                              MASK_VOICE_HEADER,
+                                              embedded_lc_encode,
+                                              full_lc_encode,
+                                              lc_build_group_voice)
+    from sdrtrunk_tpu.protocol.dmr.sync import DMRSyncPattern
+    from sdrtrunk_tpu.protocol.dmr.csbk import csbk_encode
+    from sdrtrunk_tpu.protocol.edac.bptc import bptc_196_96_encode
+
+    total_dibits = int(2.6 * BAUD)
+    rng = np.random.default_rng(31)
+    asm = DMRBurstAssembler(color_code=1)
+
+    # control: aloha + grants SPREAD across the run so the granted slot's
+    # activity stays fresh until the voice call lands (the reference TSCC
+    # rebroadcasts grants for the call duration)
+    aloha = asm.data_burst(DMRSyncPattern.BASE_STATION_DATA, DataType.CSBK,
+                           csbk_encode(0x19, np.zeros(64, np.uint8)))
+    grant = asm.data_burst(DMRSyncPattern.BASE_STATION_DATA, DataType.CSBK,
+                           _dmr_grant_csbk())
+    parts = [rng.integers(0, 4, 140).astype(np.uint8),
+             DMRBurstAssembler.to_dibits([aloha])]
+    for _ in range(8):
+        parts += [DMRBurstAssembler.to_dibits([grant]),
+                  rng.integers(0, 4, 500).astype(np.uint8)]   # ~0.1 s gap
+    control = _pad(np.concatenate(parts), total_dibits, rng)
+
+    # traffic: voice header + full superframe + terminator at ~0.9 s
+    ambe = rng.integers(0, 2, (3, 72)).astype(np.uint8)
+    lc = lc_build_group_voice(group=GROUP, source=SOURCE)
+    vh = bptc_196_96_encode(full_lc_encode(lc, MASK_VOICE_HEADER))
+    tlc = bptc_196_96_encode(full_lc_encode(lc, MASK_TERMINATOR))
+    frags = embedded_lc_encode(lc)
+    bursts = [asm.data_burst(DMRSyncPattern.BASE_STATION_DATA,
+                             DataType.VOICE_HEADER, vh),
+              asm.voice_burst(DMRSyncPattern.BASE_STATION_VOICE, ambe)]
+    for i, vf in enumerate(VOICE_FRAME_ORDER[:4]):
+        bursts.append(asm.voice_burst(vf, ambe, emb_lcss=[1, 3, 3, 2][i],
+                                      lc_fragment=frags[i]))
+    bursts.append(asm.voice_burst(VOICE_FRAME_ORDER[4], ambe))
+    bursts.append(asm.data_burst(DMRSyncPattern.BASE_STATION_DATA,
+                                 DataType.TLC, tlc))
+    traffic = np.concatenate(
+        [rng.integers(0, 4, int(0.9 * BAUD)).astype(np.uint8),
+         DMRBurstAssembler.to_dibits(bursts)])
+    traffic = _pad(traffic, total_dibits, rng)
+
+    source = _mix([(CONTROL_OFF, generators.c4fm_modulate(control, FS)),
+                   (TRAFFIC_OFF, generators.c4fm_modulate(traffic, FS))])
+    orch = Orchestrator(source, FS, CENTER_HZ, [CONTROL_OFF], slots=4,
+                        decoder="dmr", chunk_samples=64 * 256,
+                        idle_teardown_seconds=0.8)
+    # Tier III band plan: normally loaded from channel config / C_BCAST
+    orch.traffic.update_band(FrequencyBand(
+        identifier=0, base_frequency_hz=BASE_HZ,
+        channel_spacing_hz=12500.0))
+    orch.run()
+    return orch
+
+
+def test_dmr_grant_activates_traffic_channel(dmr_run):
+    freq = CENTER_HZ + TRAFFIC_OFF
+    assert not dmr_run.skipped_grants
+    assert any(e.frequency_hz == pytest.approx(freq)
+               for e in dmr_run.events)
+    status = dmr_run.channel_status()
+    traffic = [s for s in status
+               if not s["control"] and s["frequency_hz"] == freq]
+    assert traffic and traffic[0]["frames"] >= 7    # header+6 voice+TLC
+
+
+def test_dmr_voice_becomes_audio_segment(dmr_run):
+    segs = [s for s in dmr_run.audio_segments if s.duration > 0]
+    assert len(segs) == 1
+    # 6 voice bursts x 3 AMBE frames x 20 ms
+    assert segs[0].duration == pytest.approx(18 * 0.020)
+    tg = segs[0].identifiers.get(IdentifierForm.TALKGROUP)
+    assert tg is not None and tg.value == GROUP
+
+
+def test_dmr_teardown_frees_slot(dmr_run):
+    freq = CENTER_HZ + TRAFFIC_OFF
+    assert freq not in dmr_run.traffic.active
+    slot = next(s for s in dmr_run.slots
+                if not s.is_control and s.frequency_hz == freq)
+    assert not slot.active
+
+
+# --------------------------------------------------------------- P25P2
+
+@pytest.fixture(scope="module")
+def p25p2_run():
+    from sdrtrunk_tpu.protocol.p25p2 import P25P2FragmentAssembler
+    from sdrtrunk_tpu.protocol.p25p2.mac import (build_mac_pdu,
+                                                 mac_structure_encode)
+    from sdrtrunk_tpu.protocol.p25p2.timeslot import (MacPduType,
+                                                      facch_encode,
+                                                      sacch_encode,
+                                                      voice4_encode)
+
+    wacn, system, nac = 0xA4BC3, 0x123, 0x29A
+    p2baud = 6000.0
+    total_dibits = int(2.6 * p2baud)
+    rng = np.random.default_rng(41)
+    asm = P25P2FragmentAssembler(wacn=wacn, system=system, nac=nac)
+
+    # control: net status (unscrambled; teaches the key) + IDEN + grant
+    net = mac_structure_encode(123, {
+        "wacn": wacn, "system_id": system, "color_code": nac,
+        "frequency_band": 1, "channel_number": 2})
+    iden = np.zeros(72, np.uint8)
+    iden[0:8] = from_int(125, 8)
+    iden[8:12] = from_int(1, 4)              # band id 1
+    iden[12:21] = from_int(100, 9)           # 12.5 kHz bw
+    iden[30:40] = from_int(100, 10)          # 12.5 kHz spacing
+    iden[40:72] = from_int(int(BASE_HZ / 5), 32)
+    grant = mac_structure_encode(64, {
+        "service_options": 0, "frequency_band": 1,
+        "channel_number": CHAN_NUM, "group_address": GROUP,
+        "source_address": SOURCE})
+    f_net = facch_encode(build_mac_pdu(MacPduType.ACTIVE, [net], 156),
+                         scrambled=False)
+    f_iden = facch_encode(build_mac_pdu(MacPduType.ACTIVE, [iden], 156),
+                          scrambled=False)
+    f_grant = facch_encode(build_mac_pdu(MacPduType.ACTIVE, [grant], 156),
+                           scrambled=False)
+    idle = facch_encode(build_mac_pdu(MacPduType.IDLE, [], 156),
+                        scrambled=False)
+    ctrl_frags = [asm.assemble(0, [f_net, f_iden, f_net, f_iden])]
+    for i in range(1, 12):
+        ctrl_frags.append(asm.assemble(i % 3, [f_grant, idle,
+                                               f_grant, idle]))
+    control = np.concatenate(
+        [rng.integers(0, 4, 200).astype(np.uint8),
+         P25P2FragmentAssembler.to_dibits(ctrl_frags)])
+    control = _pad(control, total_dibits, rng)
+
+    # traffic: scrambled PTT + VOICE_4 + END_PTT at ~1.0 s
+    ptt = np.zeros(180, np.uint8)
+    ptt[0:3] = from_int(MacPduType.PTT.value, 3)
+    ptt[80:88] = from_int(0x80, 8)           # clear
+    ptt[104:128] = from_int(SOURCE, 24)
+    ptt[128:144] = from_int(GROUP, 16)
+    endptt = np.zeros(180, np.uint8)
+    endptt[0:3] = from_int(MacPduType.END_PTT.value, 3)
+    endptt[104:128] = from_int(SOURCE, 24)
+    endptt[128:144] = from_int(GROUP, 16)
+    frames = rng.integers(0, 2, (4, 72)).astype(np.uint8)
+    asm_t = P25P2FragmentAssembler(wacn=wacn, system=system, nac=nac)
+    t_frags = [
+        asm_t.assemble(i, [sacch_encode(ptt, scrambled=True),
+                           voice4_encode(frames),
+                           sacch_encode(ptt, scrambled=True),
+                           voice4_encode(frames)])
+        for i in range(3)
+    ]
+    t_frags.append(
+        asm_t.assemble(0, [sacch_encode(endptt, scrambled=True),
+                           idle,
+                           sacch_encode(endptt, scrambled=True),
+                           idle]))
+    traffic = np.concatenate(
+        [rng.integers(0, 4, int(1.1 * p2baud)).astype(np.uint8),
+         P25P2FragmentAssembler.to_dibits(t_frags)])
+    traffic = _pad(traffic, total_dibits, rng)
+
+    source = _mix([
+        (CONTROL_OFF, generators.lsm_modulate(control, FS,
+                                              symbol_rate=p2baud)),
+        (TRAFFIC_OFF, generators.lsm_modulate(traffic, FS,
+                                              symbol_rate=p2baud))])
+    orch = Orchestrator(source, FS, CENTER_HZ, [CONTROL_OFF], slots=4,
+                        decoder="p25p2", chunk_samples=64 * 256,
+                        idle_teardown_seconds=0.8)
+    orch.run()
+    return orch
+
+
+def test_p25p2_scramble_key_learned(p25p2_run):
+    control = next(s for s in p25p2_run.slots if s.is_control)
+    assert control.processor.state.scramble_key == (0xA4BC3, 0x123, 0x29A)
+
+
+def test_p25p2_grant_activates_traffic_channel(p25p2_run):
+    freq = CENTER_HZ + TRAFFIC_OFF
+    assert any(e.frequency_hz == pytest.approx(freq)
+               for e in p25p2_run.events)
+    slot = next((s for s in p25p2_run.slots
+                 if not s.is_control and s.frequency_hz == freq), None)
+    assert slot is not None
+    # the traffic framer got the control channel's scramble key preloaded
+    assert slot.processor.state.scramble_key == (0xA4BC3, 0x123, 0x29A)
+    assert slot.processor.frame_count >= 1
+
+
+def test_p25p2_voice_becomes_audio_segment(p25p2_run):
+    segs = [s for s in p25p2_run.audio_segments if s.duration > 0]
+    assert segs, "no P25P2 audio segments"
+    # each VOICE_4 timeslot carries 4 AMBE frames x 20 ms
+    assert segs[0].duration >= 4 * 0.020 - 1e-6
+    tgs = [i.value for i in segs[0].identifiers.all()
+           if i.role == IdentifierRole.TO]
+    assert GROUP in tgs
+
+
+# --------------------------------------------------------------- NBFM
+
+@pytest.fixture(scope="module")
+def nbfm_run():
+    duration = 2.0
+    n = int(duration * FS) // 64 * 64
+    # 1 kHz tone, carrier keyed from 0.4 s to 1.4 s
+    audio_rate = 8000.0
+    tone = np.sin(2 * np.pi * 1000.0 * np.arange(int(duration * audio_rate))
+                  / audio_rate)
+    iq = generators.nbfm_modulate(tone, audio_rate, FS)[:n]
+    key = np.zeros(n, np.float32)
+    key[int(0.4 * FS):int(1.4 * FS)] = 1.0
+    t = np.arange(n) / FS
+    wide = (iq * key * np.exp(2j * np.pi * CONTROL_OFF * t)
+            ).astype(np.complex64)
+    # noise floor well below the -78 dB squelch threshold
+    wide += (1e-5 * (np.random.default_rng(5).standard_normal(n)
+                     + 1j * np.random.default_rng(6).standard_normal(n))
+             ).astype(np.complex64)
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        chunk = wide[pos:pos + num]
+        pos += num
+        return chunk if len(chunk) else None
+
+    orch = Orchestrator(source, FS, CENTER_HZ, [CONTROL_OFF], slots=2,
+                        decoder="nbfm", chunk_samples=64 * 400)
+    orch.run()
+    # flush the (possibly still-open) segment at end of capture
+    for slot in orch.slots:
+        if slot.active:
+            slot.processor.flush(orch.now)
+            orch.audio_segments.extend(slot.processor.drain_audio())
+    return orch
+
+
+def test_nbfm_squelch_gated_segment(nbfm_run):
+    segs = [s for s in nbfm_run.audio_segments if s.duration > 0]
+    assert len(segs) == 1
+    seg = segs[0]
+    # keyed 0.4..1.4 s; the one-pole power monitor (alpha 0.0004 at
+    # 25 kHz -> tau 0.1 s) opens ~0.45 s and needs ~13 tau to decay the
+    # ~58 dB to the -78 dB threshold, so the gate holds past the 2 s
+    # capture end and the flush closes the segment
+    assert seg.start_time == pytest.approx(0.45, abs=0.1)
+    assert 0.9 < seg.duration < 1.8
+    # the gated audio is the 1 kHz tone
+    pcm = seg.samples
+    spec = np.abs(np.fft.rfft(pcm[400:4000]))
+    peak = np.fft.rfftfreq(3600, 1 / 8000.0)[np.argmax(spec)]
+    assert peak == pytest.approx(1000.0, abs=20.0)
+
+
+def test_nbfm_audio_reaches_playback_manager(nbfm_run):
+    from sdrtrunk_tpu.audio.playback import (AudioPlaybackManager,
+                                             CollectorSink)
+    sinks = {}
+
+    def factory(name):
+        sinks[name] = CollectorSink()
+        return sinks[name]
+
+    mgr = AudioPlaybackManager(n_outputs=1, sink_factory=factory)
+    for seg in nbfm_run.audio_segments:
+        mgr.receive(seg)
+    mgr.process()
+    played = sinks["out0"].played
+    assert played and len(played[0][1]) > 6000   # ~1 s of 8 kHz PCM
