@@ -148,6 +148,55 @@ def bench_receiver(decoder: str, m: int, chunk_blocks: int, iters: int,
     return result, rx
 
 
+# ------------------------------------------------------------- orchestrator
+
+def bench_orchestrator(slots: int = 8, iters: int = 20) -> dict:
+    """Measure the LIVE loop end-to-end: jitted dynamic slot-bank step +
+    host transfer of per-slot dibit/valid arrays + Python framing/message
+    layer per chunk (VERDICT round-2 item 5 — the graph the Orchestrator
+    actually runs was unbenched). All slots are active with P25P1
+    processors hunting sync in noise — the steady-state host cost with no
+    framing shortcuts."""
+    from sdrtrunk_tpu.runtime.identifiers import IdentifierCollection
+    from sdrtrunk_tpu.runtime.orchestrator import Orchestrator
+
+    m = 64
+    fs = m * 12500.0
+    rng = np.random.default_rng(0)
+    # ~164 ms of signal per chunk: the tunneled backend's device->host
+    # transfer latency (~25 ms/array) must amortize over the chunk
+    chunk = m * 2048
+    noise = (0.05 * (rng.standard_normal(chunk)
+                     + 1j * rng.standard_normal(chunk))
+             ).astype(np.complex64)
+
+    def source(num):
+        return noise[:num]
+
+    orch = Orchestrator(source, fs, 460e6, [25000.0], slots=slots,
+                        decoder="c4fm", chunk_samples=chunk,
+                        idle_teardown_seconds=1e9, ppm_correction=False)
+    offsets = [12_500.0 * k for k in range(-14, 15)
+               if 12_500.0 * k != 25_000.0][:slots - 1]
+    for off in offsets:
+        orch._activate(460e6 + off, IdentifierCollection())
+    assert sum(s.active for s in orch.slots) == slots
+
+    orch.run(max_chunks=2)                     # compile + warmup
+    t0 = time.perf_counter()
+    orch.run(max_chunks=iters)                 # double-buffered live loop
+    elapsed = time.perf_counter() - t0
+    msps = chunk * iters / elapsed / 1e6
+    return {
+        "msps": round(msps, 3),
+        "realtime_factor": round(msps * 1e6 / fs, 3),
+        "slots": slots,
+        "wideband_rate_msps": fs / 1e6,
+        "chunk_samples": chunk,
+        "iters": iters,
+    }
+
+
 # ------------------------------------------------------------- scaling
 
 def scaling_worker() -> None:
@@ -380,6 +429,10 @@ def main():
     nbfm, rx = bench_receiver("nbfm", m, blocks, iters, "audio",
                               profile_dir)
     c4fm, _ = bench_receiver("c4fm", m, c4fm_blocks, iters, "power_db")
+    try:
+        orchestrator = bench_orchestrator()
+    except Exception as e:                      # noqa: BLE001 — bench aux
+        orchestrator = {"error": str(e)[:200]}
     scaling = measure_scaling()
 
     result = {
@@ -394,6 +447,7 @@ def main():
             "c4fm": c4fm,
             "roofline": roofline_nbfm(rx, nbfm["msps"]),
             "mfu": roofline_nbfm(rx, nbfm["msps"])["mfu"],
+            "orchestrator": orchestrator,
             "scaling": scaling,
         },
     }

@@ -71,9 +71,9 @@ def complex_safe(step_fn, init_state):
         flags = complex_flags(init_state)
         packed0 = pack_tree(init_state)
 
-    def wrapped(x, packed_state):
+    def wrapped(x, packed_state, *extra):
         state = unpack_tree(packed_state, flags)
-        outputs, new_state = step_fn(x, state)
+        outputs, new_state = step_fn(x, state, *extra)
         return jax.tree.map(pack_array, outputs), pack_tree(new_state)
 
     return wrapped, packed0

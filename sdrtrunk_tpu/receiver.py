@@ -243,3 +243,29 @@ class WidebandReceiver:
         step = self.build()
         wrapped, packed0 = complex_safe(step, self.init_state)
         return jax.jit(wrapped), packed0
+
+    def build_dynamic_safe(self):
+        """Complex-safe build_dynamic: returns (jitted step, packed_state,
+        reset_slot) where step(x_float_pairs, packed_state, bins, step_rad)
+        carries state as float32 (..., 2) pairs, and reset_slot(state,
+        slot) re-initializes one slot's decoder/mixer state ON the packed
+        tree (the live Orchestrator's per-grant slot reset) without ever
+        materialising complex arrays eagerly — the TPU-boundary rules of
+        build_safe applied to the retunable slot-bank graph."""
+        from .parallel.boundary import complex_safe, pack_tree
+        step = self.build_dynamic()
+        wrapped, packed0 = complex_safe(step, self.init_state)
+        dec0_packed = jax.jit(
+            lambda: pack_tree(self.decoder.init_state()))()
+
+        def reset_slot(state, slot):
+            dec = jax.tree.map(lambda full, init: full.at[slot].set(init),
+                               state["dec"], dec0_packed)
+            return {
+                "chan": state["chan"],
+                "mixer_phase": state["mixer_phase"].at[slot].set(0.0),
+                "rot": state["rot"],
+                "dec": dec,
+            }
+
+        return jax.jit(wrapped), packed0, reset_slot
