@@ -55,6 +55,12 @@ class CSBK:
 
     @property
     def opcode_name(self) -> str:
+        if self.fid != 0:
+            from .csbk_vendor import vendor_csbk_name
+            name = vendor_csbk_name(self.fid, self.opcode)
+            if name is not None:
+                return name
+            return f"FID_{self.fid:02X}_CSBKO_{self.opcode:02X}"
         return CSBKO_NAMES.get(self.opcode, f"CSBKO_{self.opcode:02X}")
 
 
@@ -87,7 +93,9 @@ def csbk_decode(bits196: np.ndarray) -> CSBK | None:
 def _parse(c: CSBK) -> dict:
     d = c.data
     if c.fid != 0:
-        return {}
+        from .csbk_vendor import parse_vendor_csbk
+        fields = parse_vendor_csbk(c.fid, c.opcode, d)
+        return fields if fields is not None else {}
     if c.opcode == 0x3D:       # preamble
         return {
             "content": "DATA" if d[0] else "CSBK",

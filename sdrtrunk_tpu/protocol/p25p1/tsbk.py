@@ -138,6 +138,12 @@ class TSBK:
 
     @property
     def opcode_name(self) -> str:
+        if self.mfid not in (0x00, 0x01):
+            from .tsbk_vendor import vendor_opcode_name
+            name = vendor_opcode_name(self.mfid, self.opcode)
+            if name is not None:
+                return name
+            return f"MFID_{self.mfid:02X}_OPCODE_{self.opcode:02X}"
         table = OSP_OPCODES if self.direction == "outbound" else ISP_OPCODES
         return table.get(self.opcode, f"OPCODE_{self.opcode:02X}")
 
@@ -339,9 +345,15 @@ _ISP_FIELDS: dict[int, list] = {
 
 
 def _parse_args(t: TSBK) -> dict:
-    """Field extraction for standard opcodes (standard MFID only)."""
+    """Field extraction: standard MFIDs via the tables below, vendor
+    MFIDs (Motorola 0x90 / Harris 0xA4) via tsbk_vendor."""
     a = t.args
     if t.mfid not in (0x00, 0x01):
+        if t.direction == "outbound":
+            from .tsbk_vendor import parse_vendor_args
+            fields = parse_vendor_args(t.mfid, t.opcode, a)
+            if fields is not None:
+                return fields
         return {}
     if t.direction == "outbound":
         # IDEN_UP family carries scaled values (FrequencyBandUpdate*.java)

@@ -141,14 +141,35 @@ class DMRDecoderState:
 
     def _csbk(self, slot: _SlotState, frame: DMRBurstFrame,
               now: float) -> None:
+        from ..protocol.dmr.csbk_vendor import (FID_CAPACITY_PLUS,
+                                                FID_CONNECT_PLUS)
         csbk = frame.content
         if csbk is None:
             return
         f = csbk.fields or {}
+        if csbk.fid == FID_CONNECT_PLUS:
+            if csbk.opcode == 3 and f:      # CONPLUS_VOICE_CHANNEL_USER
+                # the Con+ control channel's grant: logical channel =
+                # repeater number (ConnectPlusVoiceChannelUser.java)
+                self.traffic.process_grant(
+                    band_id=0, channel_number=f.get("repeater", 0),
+                    now=now, group=f.get("group_address"),
+                    source=f.get("source_address"),
+                    timeslot=f.get("timeslot", slot.timeslot))
+            elif csbk.opcode == 1:          # CONPLUS_NEIGHBOR_REPORT
+                slot.machine.set_state(ChannelState.CONTROL, now)
+            return
+        if csbk.fid == FID_CAPACITY_PLUS:
+            if csbk.opcode == 62:           # CAPPLUS_SYSTEM_STATUS: the
+                # rest-channel marker doubles as the control beacon
+                slot.machine.set_state(ChannelState.CONTROL, now)
+            return
+        if csbk.fid != 0:
+            return
         if csbk.opcode == _ALOHA:
             slot.machine.set_state(ChannelState.CONTROL, now)
         elif csbk.opcode in _VOICE_GRANT_OPCODES and f:
-            # Tier III / Cap+ logical channel number grant; the traffic
+            # Tier III logical channel number grant; the traffic
             # manager maps it through its band plan when one is loaded
             self.traffic.process_grant(
                 band_id=0, channel_number=f.get("channel", 0), now=now,

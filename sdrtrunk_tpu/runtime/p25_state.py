@@ -50,6 +50,9 @@ class P25P1DecoderState:
         self.state_machine.set_state(ChannelState.CONTROL, now)
         t = message.content
         f = t.fields
+        if t.mfid not in (0x00, 0x01):
+            self._vendor_tsbk(t, now)
+            return
         if t.opcode in (0x34, 0x3D) and f:      # IDEN_UP / IDEN_UP_VU
             self.traffic.update_band(FrequencyBand(
                 identifier=f["identifier"],
@@ -69,6 +72,29 @@ class P25P1DecoderState:
                         group=f[f"group_address_{n}"])
         elif t.opcode == 0x3A and f:            # RFSS status
             self.identifiers.update(Identifier.site(f["site_id"], "APCO25"))
+        self.traffic.check_teardown(now)
+
+    def _vendor_tsbk(self, t, now: float) -> None:
+        """Motorola OSP handling (tsbk_vendor): patch-group channel
+        grants follow the same traffic path as standard group grants —
+        a patch group IS a super-talkgroup
+        (motorola/osp/PatchGroupVoiceChannelGrant.java)."""
+        from ..protocol.p25p1.tsbk_vendor import MFID_MOTOROLA
+        f = t.fields
+        if t.mfid != MFID_MOTOROLA or not f:
+            return
+        if t.opcode == 0x02:        # patch group voice channel grant
+            self.traffic.process_grant(
+                band_id=f["frequency_band"],
+                channel_number=f["channel_number"], now=now,
+                group=f["patch_group"], source=f.get("source_address"))
+        elif t.opcode == 0x03:      # patch group grant update (2 grants)
+            for n in ("1", "2"):
+                if f.get(f"patch_group_{n}"):
+                    self.traffic.process_grant(
+                        band_id=f[f"frequency_band_{n}"],
+                        channel_number=f[f"channel_number_{n}"],
+                        now=now, group=f[f"patch_group_{n}"])
         self.traffic.check_teardown(now)
 
     def _hdu(self, message: P25P1Message, now: float) -> None:
