@@ -81,7 +81,16 @@ class Orchestrator:
                  metrics_sink=None,
                  ppm_correction: bool = True,
                  ppm_threshold: float = 0.4,
-                 ppm_observation_seconds: float = 30.0):
+                 ppm_observation_seconds: float = 30.0,
+                 control_rotation=None,
+                 rotation_delay: float = 0.5,
+                 event_log_path=None):
+        """control_rotation: optional list of absolute candidate control
+        frequencies — while the control slot fails to reach CONTROL
+        state within rotation_delay, cycle through them
+        (ChannelRotationMonitor.java role). event_log_path: optional
+        .csv / .jsonl sink for every decode event
+        (DecodeEventLogger.java role; EventLogConfig.decode_events)."""
         control_offsets_hz = list(np.atleast_1d(control_offsets_hz))
         if slots < len(control_offsets_hz) + 1:
             raise ValueError("need at least one traffic slot")
@@ -116,10 +125,16 @@ class Orchestrator:
         self.slots = [ChannelSlot(i) for i in range(slots)]
 
         self.correction_ppm = 0.0
+        self.event_logger = None
+        if event_log_path is not None:
+            from .eventlog import DecodeEventLogger
+            self.event_logger = DecodeEventLogger(event_log_path)
         self.traffic = TrafficChannelManager(
             _PROTOCOL_LABELS.get(decoder, decoder.upper()),
             idle_teardown_seconds=idle_teardown_seconds,
             on_activate=self._activate, on_teardown=self._teardown)
+        if self.event_logger is not None:
+            self.traffic.event_sink = self.event_logger.receive
         for i, off in enumerate(control_offsets_hz):
             slot = self.slots[i]
             slot.is_control = True
@@ -127,7 +142,14 @@ class Orchestrator:
             slot.frequency_hz = self.center_frequency_hz + float(off)
             slot.processor = make_channel_processor(
                 decoder, traffic=self.traffic, codec=self.codec)
+            self._wire_logger(slot.processor)
             self._tune(i, float(off))
+        self.rotation = None
+        if control_rotation:
+            from .rotation import ChannelRotationMonitor
+            self.rotation = ChannelRotationMonitor(
+                control_rotation, self._rotate_control,
+                rotation_delay=rotation_delay)
 
         self.now = 0.0
         self.samples_processed = 0
@@ -210,6 +232,26 @@ class Orchestrator:
         self.bins[slot] = (b, b)
         self.steps[slot] = 2.0 * np.pi * residual / ch.channel_sample_rate
         self.state = self._reset_slot(self.state, slot)
+
+    def _wire_logger(self, processor) -> None:
+        """Route a processor's decode-event history into the event-log
+        sink (EventLogConfig.decode_events -> DecodeEventLogger)."""
+        if self.event_logger is not None \
+                and hasattr(processor, "state") \
+                and hasattr(processor.state, "history"):
+            processor.state.history.add_listener(self.event_logger.receive)
+
+    def _rotate_control(self, frequency_hz: float) -> None:
+        """Rotation monitor fired: move the control slot to the next
+        candidate frequency (SourceEvent frequency-rotation request ->
+        retune, ChannelRotationMonitor.java:95-120)."""
+        slot = next(s for s in self.slots if s.is_control)
+        offset = frequency_hz - self.center_frequency_hz
+        ch = self.rx.channelizer
+        if abs(offset) > ch.channels * ch.channel_spacing / 2:
+            return                      # candidate outside coverage
+        slot.frequency_hz = frequency_hz
+        self._tune(slot.index, offset)
 
     def _apply_ppm(self, ppm: float) -> None:
         """Sustained PLL error -> global tuner correction + retune of all
@@ -311,6 +353,7 @@ class Orchestrator:
         slot.processor = make_channel_processor(
             self.decoder_name, traffic=None, codec=self.codec,
             preload=identifiers, **extra)
+        self._wire_logger(slot.processor)
 
     def _teardown(self, frequency_hz: float) -> None:
         for slot in self.slots:
@@ -377,6 +420,13 @@ class Orchestrator:
                 self.traffic.process_activity(slot.frequency_hz, self.now)
             self.audio_segments.extend(slot.processor.drain_audio())
         self.traffic.check_teardown(self.now)
+
+        if self.rotation is not None:
+            ctrl = next(s for s in self.slots if s.is_control)
+            if hasattr(ctrl.processor, "channel_state"):
+                self.rotation.state(ctrl.processor.channel_state(),
+                                    self.now)
+            self.rotation.check(self.now)
 
         metrics = {
             "t": round(self.now, 6),

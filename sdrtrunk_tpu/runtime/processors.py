@@ -82,6 +82,9 @@ class P25P1ChannelProcessor:
         if self.audio.segment is not None:
             self.audio.end_call(now)
 
+    def channel_state(self):
+        return self.state.state_machine.state
+
 
 class DMRChannelProcessor:
     """DMR slot pipeline: dibits -> burst framer -> two-timeslot decoder
@@ -118,6 +121,13 @@ class DMRChannelProcessor:
         for slot in self.state.slots.values():
             if slot.audio.segment is not None:
                 slot.audio.end_call(now)
+
+    def channel_state(self):
+        from .state import ChannelState
+        states = [s.machine.state for s in self.state.slots.values()]
+        if ChannelState.CONTROL in states:
+            return ChannelState.CONTROL
+        return states[0]
 
 
 class P25P2ChannelProcessor:
@@ -170,6 +180,13 @@ class P25P2ChannelProcessor:
         for module in self.audio:
             if module.segment is not None:
                 module.end_call(now)
+
+    def channel_state(self):
+        from .state import ChannelState
+        states = [sm.state for sm in self.state.state]
+        if ChannelState.CONTROL in states:
+            return ChannelState.CONTROL
+        return states[0]
 
 
 class AnalogAudioModule:
@@ -268,6 +285,11 @@ class NBFMChannelProcessor:
 
     def flush(self, now: float) -> None:
         self.audio.end_call(now)
+
+    def channel_state(self):
+        from .state import ChannelState
+        return (ChannelState.CALL if self.audio.segment is not None
+                else ChannelState.IDLE)
 
 
 # decoder kind (receiver.make_channel_decoder names) -> processor class;

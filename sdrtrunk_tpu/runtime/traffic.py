@@ -66,6 +66,7 @@ class TrafficChannelManager:
         self.bands: dict[int, FrequencyBand] = {}
         self.active: dict[float, TrafficChannel] = {}
         self.events: list[DecodeEvent] = []
+        self.event_sink: Callable | None = None   # e.g. DecodeEventLogger
 
     # --- frequency band (IDEN_UP) bookkeeping ---
 
@@ -114,11 +115,14 @@ class TrafficChannelManager:
         event_type = (DecodeEventType.CALL_GROUP_ENCRYPTED if encrypted
                       else DecodeEventType.CALL_GROUP if group is not None
                       else DecodeEventType.CALL_UNIT_TO_UNIT)
-        self.events.append(DecodeEvent(
+        event = DecodeEvent(
             event_type=event_type, time_start=now, protocol=self.protocol,
             frequency_hz=freq, identifiers=idents.copy(),
             timeslot=timeslot,
-            details=f"GRANT channel {channel_number}"))
+            details=f"GRANT channel {channel_number}")
+        self.events.append(event)
+        if self.event_sink is not None:
+            self.event_sink(event)
         if self.on_activate is not None:
             self.on_activate(freq, idents)
         return channel
