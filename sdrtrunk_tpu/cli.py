@@ -347,6 +347,43 @@ def cmd_instrument(args) -> int:
     return 0
 
 
+def cmd_waterfall(args) -> int:
+    """Frame-rate spectral frames for a capture (the spectral/waterfall
+    display surface, spectrum/DFTProcessor.java): prints a summary JSON,
+    optionally writes the (frames, fft) dB matrix as .npz and renders an
+    ASCII waterfall preview."""
+    from .dsp.dft_processor import DFTProcessor
+
+    iq, fs = _load_iq(args.input)
+    proc = DFTProcessor(fs, fft_size=args.fft_size,
+                        frame_rate=args.frame_rate,
+                        complex_input=np.iscomplexobj(iq))
+    rows = proc.receive(iq)
+    summary = {"input": args.input, "sample_rate": fs,
+               "fft_size": args.fft_size, "frame_rate": args.frame_rate,
+               "frames": int(rows.shape[0]),
+               "peak_db": (round(float(rows.max()), 1)
+                           if rows.size else None)}
+    if args.output:
+        np.savez(args.output, waterfall=rows, sample_rate=fs,
+                 frame_rate=args.frame_rate)
+        summary["output"] = args.output
+    if args.ascii and rows.size:
+        # coarse terminal waterfall: one char per bin bucket, one row
+        # per frame (newest last)
+        ramp = " .:-=+*#%@"
+        lo, hi = float(rows.min()), float(rows.max())
+        span = max(hi - lo, 1e-6)
+        width = min(args.fft_size, 96)
+        step = rows.shape[1] // width
+        for row in rows[:40]:
+            cells = row[:width * step].reshape(width, step).max(axis=1)
+            idx = ((cells - lo) / span * (len(ramp) - 1)).astype(int)
+            print("".join(ramp[i] for i in idx))
+    _emit(summary)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
     sys.argv = ["bench.py"] + (["--small"] if args.small else [])
@@ -408,6 +445,16 @@ def main(argv=None) -> int:
     p.add_argument("--symbol-rate", type=float, default=4800.0)
     p.add_argument("--output", help="write eye/constellation arrays (.npz)")
     p.set_defaults(fn=cmd_instrument)
+
+    p = sub.add_parser("waterfall", help="frame-rate spectral frames "
+                                         "(spectral/waterfall surface)")
+    p.add_argument("input")
+    p.add_argument("--fft-size", type=int, default=1024)
+    p.add_argument("--frame-rate", type=float, default=20.0)
+    p.add_argument("--output", help="write frames to .npz")
+    p.add_argument("--ascii", action="store_true",
+                   help="render an ASCII waterfall preview")
+    p.set_defaults(fn=cmd_waterfall)
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--small", action="store_true")

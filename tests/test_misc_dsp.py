@@ -191,3 +191,45 @@ def test_synthesize_two_wrap_bin():
     z, _ = syn(y[:, m0], y[:, 0])
     seg = np.asarray(z)[300:-300]
     assert np.abs(seg).mean() == pytest.approx(1.0, abs=0.02)
+
+
+class TestDFTProcessor:
+    """Streaming frame-rate DFT (spectrum/DFTProcessor.java role)."""
+
+    def test_frame_cadence_and_tone_bin(self):
+        from sdrtrunk_tpu.dsp.dft_processor import DFTProcessor
+        fs = 100_000.0
+        proc = DFTProcessor(fs, fft_size=1024, frame_rate=20.0)
+        # 0.5 s of a +10 kHz tone -> exactly 10 frames
+        n = int(0.5 * fs)
+        t = np.arange(n) / fs
+        x = np.exp(2j * np.pi * 10_000.0 * t).astype(np.complex64)
+        rows = proc.receive(x)
+        assert rows.shape == (10, 1024)
+        # DC-centered: +10 kHz -> bin 512 + 1024*10k/100k
+        peak = int(np.argmax(rows[-1]))
+        assert peak == 512 + round(1024 * 10_000.0 / fs)
+
+    def test_chunked_equals_oneshot(self):
+        from sdrtrunk_tpu.dsp.dft_processor import DFTProcessor
+        fs = 50_000.0
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal(25_000)
+             + 1j * rng.standard_normal(25_000)).astype(np.complex64)
+        one = DFTProcessor(fs, fft_size=512, frame_rate=25.0).receive(x)
+        proc = DFTProcessor(fs, fft_size=512, frame_rate=25.0)
+        parts = [proc.receive(x[i:i + 777]) for i in range(0, len(x), 777)]
+        chunked = np.concatenate([p for p in parts if p.size])
+        assert chunked.shape == one.shape
+        assert np.allclose(chunked, one, atol=1e-4)
+
+    def test_frame_rate_bounds_and_source_events(self):
+        from sdrtrunk_tpu.dsp.dft_processor import DFTProcessor
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            DFTProcessor(48_000.0, frame_rate=0.5)
+        proc = DFTProcessor(48_000.0, fft_size=256, frame_rate=10.0)
+        proc.set_sample_rate(96_000.0)
+        proc.set_frame_rate(40.0)
+        rows = proc.receive(np.zeros(96_000, np.complex64))
+        assert rows.shape[0] == 40
