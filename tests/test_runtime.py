@@ -118,3 +118,62 @@ def test_p25_decoder_state_flow():
     tc = state.traffic.active[freq]
     assert tc.identifiers.get(IdentifierForm.TALKGROUP).value == 777
     assert tc.identifiers.get(IdentifierForm.RADIO).value == 888
+
+
+class TestAliasActions:
+    """Beep/clip/script alias actions + interval semantics
+    (alias/action/RecurringAction.java:35-145)."""
+
+    def _setup(self):
+        from sdrtrunk_tpu.runtime.aliases import Alias, AliasList, \
+            TalkgroupMatcher
+        from sdrtrunk_tpu.runtime.alias_actions import AliasActionManager
+        alias = Alias(name="SWAT", matchers=[
+            TalkgroupMatcher(protocol="APCO25", value=0x123)])
+        mgr = AliasActionManager(AliasList("test", [alias]))
+        return mgr
+
+    def _ids(self, tg=0x123):
+        from sdrtrunk_tpu.runtime.identifiers import Identifier
+        return [Identifier.talkgroup(tg, protocol="APCO25")]
+
+    def test_once_fires_single_time(self):
+        from sdrtrunk_tpu.runtime.alias_actions import (ActionInterval,
+                                                        BeepAction)
+        beeps = []
+        mgr = self._setup()
+        mgr.add_action("SWAT", BeepAction(interval=ActionInterval.ONCE,
+                                          sink=beeps.append))
+        assert mgr.receive(self._ids(), "call", now=1.0) == 1
+        assert mgr.receive(self._ids(), "call", now=2.0) == 0
+        assert len(beeps) == 1 and "SWAT" in beeps[0]
+        # non-matching talkgroup never fires
+        assert mgr.receive(self._ids(0x999), "call", now=3.0) == 0
+
+    def test_delayed_reset_rearms_after_period(self):
+        from sdrtrunk_tpu.runtime.alias_actions import (ActionInterval,
+                                                        ClipAction)
+        plays = []
+        mgr = self._setup()
+        mgr.add_action("SWAT", ClipAction(
+            interval=ActionInterval.DELAYED_RESET, period_seconds=5.0,
+            path="/clips/alert.wav", player=plays.append))
+        assert mgr.receive(self._ids(), "call", now=0.0) == 1
+        assert mgr.receive(self._ids(), "call", now=3.0) == 0
+        assert mgr.receive(self._ids(), "call", now=5.5) == 1
+        assert plays == ["/clips/alert.wav"] * 2
+
+    def test_until_dismissed(self):
+        from sdrtrunk_tpu.runtime.alias_actions import (ActionInterval,
+                                                        ScriptAction)
+        runs = []
+        mgr = self._setup()
+        action = ScriptAction(interval=ActionInterval.UNTIL_DISMISSED,
+                              period_seconds=2.0, script="/bin/alert.sh",
+                              runner=runs.append)
+        mgr.add_action("SWAT", action)
+        assert mgr.receive(self._ids(), "c1", now=0.0) == 1
+        assert mgr.receive(self._ids(), "c2", now=2.5) == 1
+        action.dismiss()
+        assert mgr.receive(self._ids(), "c3", now=5.0) == 0
+        assert runs[0] == ["/bin/alert.sh", "SWAT", "c1"]
