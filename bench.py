@@ -261,7 +261,7 @@ def scaling_worker() -> None:
     ch = Channelizer.design(fs, 12500.0)
     offsets = [(i - m // 2 + 1) * 12500.0 for i in range(m - 1)][:56]
     plan = plan_channels(ch, offsets)
-    n = m * 4096
+    n = m * 8192
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
          ).astype(np.complex64)
@@ -274,13 +274,18 @@ def scaling_worker() -> None:
         xs = jnp.asarray(x)
         y = run(xs)
         _ = np.asarray(y[:1, :4])           # compile + execute
-        iters = 6
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = run(xs)
-        _ = np.asarray(y[:1, :4])
-        dt = time.perf_counter() - t0
-        out[s] = n * iters / dt / 1e6
+        # best-of-3 timed repeats: single runs on shared-core virtual
+        # devices are noisy (round-2 showed non-monotonic retention)
+        iters = 10
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                y = run(xs)
+            _ = np.asarray(y[:1, :4])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[s] = n * iters / best / 1e6
     base = out[1]
     # Virtual devices SHARE the host's physical cores (one XLA-CPU device
     # already uses every core), so per-device msps cannot scale here and

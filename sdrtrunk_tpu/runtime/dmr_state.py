@@ -192,6 +192,7 @@ class DMRDecoderState:
                                              IdentifierRole.TO))
             etype = DecodeEventType.DATA_PACKET
             details = msg.describe()
+            location = None
             app = getattr(msg.packet, "application", None) \
                 if msg.packet is not None else None
             if app is None and msg.packet is not None \
@@ -203,10 +204,12 @@ class DMRDecoderState:
                     etype = DecodeEventType.GPS
                     details = (f"lat={point.fields.get('latitude')} "
                                f"lon={point.fields.get('longitude')}")
+                    location = (point.fields.get("latitude"),
+                                point.fields.get("longitude"))
             self.history.receive(DecodeEvent(
                 event_type=etype, time_start=now, protocol="DMR",
                 channel=self.channel, timeslot=msg.timeslot,
-                identifiers=ids, details=details))
+                identifiers=ids, details=details, location=location))
 
     # ------------------------------------------------------------ audio
 

@@ -45,6 +45,15 @@ class DecodeEvent:
     identifiers: IdentifierCollection = field(
         default_factory=IdentifierCollection)
     timeslot: int = 0
+    # plottable-event fields (PlottableDecodeEvent.java): set for GPS
+    # events; location is (latitude, longitude) degrees
+    location: tuple | None = None
+    heading: float | None = None
+    speed: float | None = None
+
+    @property
+    def plottable(self) -> bool:
+        return self.location is not None
 
     def end(self, now: float) -> None:
         self.duration = max(self.duration, now - self.time_start)
