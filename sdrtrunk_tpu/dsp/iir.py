@@ -47,10 +47,16 @@ def _linrec(a: float, b: jnp.ndarray, y0, block: int = 128) -> jnp.ndarray:
     nb = -(-n // block)
     bp = jnp.pad(b, (0, nb * block - n)).reshape(nb, block)
     t_mat = jnp.asarray(_tri_powers(a, block), jnp.float32)
+
+    # HIGHEST: the TPU default matmul path multiplies in bf16; the
+    # recurrence amplifies that to ~1e-2 absolute on unit-scale audio
+    def mm(x):
+        return jnp.dot(x, t_mat.T, precision=jax.lax.Precision.HIGH)
+
     if jnp.iscomplexobj(b):
-        partial = jax.lax.complex(bp.real @ t_mat.T, bp.imag @ t_mat.T)
+        partial = jax.lax.complex(mm(bp.real), mm(bp.imag))
     else:
-        partial = bp @ t_mat.T                      # (nb, L) zero-init runs
+        partial = mm(bp)                            # (nb, L) zero-init runs
     a_l = float(a) ** block
     # carry into block k: c[k] = aL^k y0 + sum_{j<k} aL^(k-1-j) ends[j]
     s_mat = np.zeros((nb, nb))
@@ -59,7 +65,8 @@ def _linrec(a: float, b: jnp.ndarray, y0, block: int = 128) -> jnp.ndarray:
     with np.errstate(under="ignore"):
         y0_pow = np.power(a_l, np.arange(nb))
     ends = partial[:, -1]
-    c_in = (jnp.asarray(s_mat, jnp.float32) @ ends
+    c_in = (jnp.dot(jnp.asarray(s_mat, jnp.float32), ends,
+                    precision=jax.lax.Precision.HIGH)
             + jnp.asarray(y0_pow, jnp.float32) * y0)
     with np.errstate(under="ignore"):
         in_pow = np.power(float(a), np.arange(1, block + 1))
