@@ -119,9 +119,11 @@ class Orchestrator:
             raise ValueError(f"chunk_samples must be a multiple of {m}")
 
         # slot control arrays — the RUNTIME channel plan (bin pairs; a
-        # single-bin slot repeats its index, see ChannelPlan)
+        # single-bin slot repeats its index, see ChannelPlan); the device
+        # copy is cached and invalidated by _tune (see _enqueue)
         self.bins = np.zeros((slots, 2), np.int32)
         self.steps = np.zeros(slots, np.float32)
+        self._plan_dev = None
         self.slots = [ChannelSlot(i) for i in range(slots)]
 
         self.correction_ppm = 0.0
@@ -231,6 +233,7 @@ class Orchestrator:
         residual = offset_hz - ch.center_frequency(b)
         self.bins[slot] = (b, b)
         self.steps[slot] = 2.0 * np.pi * residual / ch.channel_sample_rate
+        self._plan_dev = None
         self.state = self._reset_slot(self.state, slot)
 
     def _wire_logger(self, processor) -> None:
@@ -312,6 +315,7 @@ class Orchestrator:
         self.chunk_samples = self._default_chunk(m)
         self.bins = np.zeros((slots, 2), np.int32)
         self.steps = np.zeros(slots, np.float32)
+        self._plan_dev = None
         self.retune(self.center_frequency_hz)
 
     def _free_slot(self) -> ChannelSlot | None:
@@ -372,9 +376,15 @@ class Orchestrator:
         iq = np.asarray(iq)
         if np.iscomplexobj(iq):     # complex never crosses the boundary
             iq = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+        # the slot plan lives on device and is re-uploaded only when a
+        # tune changed it: on the tunneled backend every host->device
+        # transfer costs ~5 ms of fixed latency, which at the default
+        # chunk size would double the live loop's per-chunk overhead
+        if self._plan_dev is None:
+            self._plan_dev = (jnp.asarray(self.bins),
+                              jnp.asarray(self.steps))
         out, self.state = self.step(
-            jnp.asarray(iq, jnp.float32), self.state,
-            jnp.asarray(self.bins), jnp.asarray(self.steps))
+            jnp.asarray(iq, jnp.float32), self.state, *self._plan_dev)
         self.samples_processed += len(iq)
         return out, self.samples_processed / self.sample_rate
 
