@@ -4,7 +4,6 @@ talkgroup within a time window).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 from ..runtime.identifiers import IdentifierForm, IdentifierRole
 from .segments import AudioSegment

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import enum
 import json
-from dataclasses import dataclass, field
 
 import numpy as np
 

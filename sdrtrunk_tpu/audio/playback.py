@@ -12,7 +12,6 @@ desktop deployment, a null/collector sink elsewhere.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Callable
 
 import numpy as np

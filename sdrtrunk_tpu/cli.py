@@ -15,7 +15,6 @@ note); audio and bitstream artifacts are written next to the input or to
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 from pathlib import Path
@@ -194,7 +193,7 @@ def _decode_single(iq: np.ndarray, fs: float, protocol: str,
 # ------------------------------------------------------------------ cmds
 
 def cmd_info(args) -> int:
-    from .dsp.spectrum import SpectrumConfig, channel_power_map
+    from .dsp.spectrum import channel_power_map
     import jax.numpy as jnp
     iq, fs = _load_iq(args.input)
     centers, power = channel_power_map(

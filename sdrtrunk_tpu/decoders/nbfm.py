@@ -13,10 +13,8 @@ streaming is exact.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

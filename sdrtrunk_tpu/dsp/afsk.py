@@ -12,7 +12,6 @@ I/Q dot products per sample); only the symbol-timing loop is a scan.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import NamedTuple
 

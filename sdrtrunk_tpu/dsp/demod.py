@@ -8,7 +8,6 @@ Squelch: one-pole power monitor + threshold gating
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from . import iir

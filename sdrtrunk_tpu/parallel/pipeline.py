@@ -20,7 +20,6 @@ leading mesh axis on top of this.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

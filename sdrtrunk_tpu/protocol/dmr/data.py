@@ -19,7 +19,7 @@ a CRC-CCITT with the 0xCCCC data-header mask (CRCDMR.correctCCITT80).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -12,7 +12,7 @@ terminator full LC, idle, and voice bursts with AMBE frames + embedded LC.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np

@@ -11,7 +11,7 @@ are verified when present.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 __all__ = ["IPProtocol", "IPV4Header", "UDPHeader", "ICMPHeader",
            "IPV4Packet", "ipv4_checksum", "parse_ipv4"]

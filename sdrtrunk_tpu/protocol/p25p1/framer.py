@@ -16,7 +16,7 @@ payload dibit k sits at transmitted offset 57 + k + (k + 21) // 35.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

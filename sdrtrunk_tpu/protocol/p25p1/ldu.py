@@ -19,7 +19,7 @@ encryption sync: MI 72 + ALGID 8 + KID 16).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

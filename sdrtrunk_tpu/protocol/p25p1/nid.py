@@ -9,7 +9,6 @@ import numpy as np
 
 from ..bits import from_int, to_int
 from ..edac.bch import BCH_63_16_11
-from .duid import DUID
 
 __all__ = ["NID"]
 

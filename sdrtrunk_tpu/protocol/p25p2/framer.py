@@ -10,14 +10,14 @@ and descrambles + parses the four timeslots.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..bits import bits_to_dibits, dibits_to_bits, xor_popcount_correlate
 from .isch import ISCH, isch_decode, isch_encode
 from .scrambler import ScramblingSequence
-from .timeslot import Timeslot, timeslot_decode
+from .timeslot import timeslot_decode
 
 __all__ = ["P25P2Fragment", "P25P2Framer", "P25P2FragmentAssembler",
            "SYNC_BITS", "FRAGMENT_BITS"]

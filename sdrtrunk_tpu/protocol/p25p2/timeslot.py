@@ -12,7 +12,7 @@ interleaved around the DUID/sync gaps. Voice-4: 72-bit frames at
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -11,15 +11,13 @@ batched array op over >=1000 channels at once.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .dsp.channelizer import Channelizer
-from .dsp.extract import ChannelPlan, plan_channels
+from .dsp.extract import plan_channels
 
 __all__ = ["WidebandReceiver", "make_channel_decoder"]
 

@@ -17,7 +17,6 @@ or config.
 from __future__ import annotations
 
 import hashlib
-import io
 import json
 
 import numpy as np

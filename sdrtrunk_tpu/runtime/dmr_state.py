@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..audio.mbe import MBEAudioModule, MBEFrameType
-from ..protocol.dmr.framer import DataType, DMRBurstFrame
+from ..protocol.dmr.framer import DMRBurstFrame
 from ..protocol.dmr.lc import embedded_lc_decode
 from ..protocol.dmr.sync import VOICE_PATTERNS
 from ..protocol.dmr.packet import PacketSequenceAssembler

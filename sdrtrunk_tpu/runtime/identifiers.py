@@ -9,7 +9,7 @@ the reference's MutableIdentifierCollection update semantics.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Any, Iterable
 
 __all__ = ["IdentifierClass", "IdentifierForm", "IdentifierRole",

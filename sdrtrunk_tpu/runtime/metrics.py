@@ -9,7 +9,7 @@ correction (source/tuner/FrequencyErrorCorrectionManager.java:32-143).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

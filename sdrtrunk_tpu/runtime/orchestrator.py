@@ -23,7 +23,7 @@ detection note: "deterministic replay from recorded IQ").
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

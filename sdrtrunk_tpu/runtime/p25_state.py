@@ -4,7 +4,6 @@ module/decode/p25/phase1/P25P1DecoderState.java).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 
 from ..protocol.p25p1.duid import DUID
 from ..protocol.p25p1.messages import P25P1Message

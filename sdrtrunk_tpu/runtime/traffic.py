@@ -11,7 +11,7 @@ channel-activation requests, and tears idle grants down.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from .events import DecodeEvent, DecodeEventType

@@ -12,7 +12,6 @@ control-transfer sequences against a RecordingTransport.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 from .usb import UsbError, UsbTransport
 

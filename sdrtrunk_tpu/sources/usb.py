@@ -11,7 +11,7 @@ only part of the reference's USB stack that carries protocol logic.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Protocol
 
 __all__ = ["ControlTransfer", "UsbTransport", "RecordingTransport",
