@@ -157,6 +157,7 @@ class Orchestrator:
         self.samples_processed = 0
         self.audio_segments: list = []
         self.skipped_grants: list[float] = []
+        self.error_state: str | None = None
 
         # tuner PPM auto-correction driven by the control channel's PLL
         # frequency error (CostasLoop broadcast -> FrequencyErrorMonitor)
@@ -275,6 +276,22 @@ class Orchestrator:
             self.retune(float(event.value))
         elif event.type == SourceEventType.SAMPLE_RATE_CHANGE:
             self.set_sample_rate(float(event.value))
+        elif event.type == SourceEventType.ERROR_STATE:
+            self.stop_all(reason=str(event.value))
+
+    def stop_all(self, reason: str = "") -> None:
+        """Tuner error state: stop every running channel, flushing open
+        calls to AudioSegments (the reference's automatic channel stop on
+        NOTIFICATION_ERROR_STATE,
+        ChannelProcessingManager.java:359-389)."""
+        self.error_state = reason or "error"
+        for slot in self.slots:
+            if not slot.active or slot.processor is None:
+                continue
+            slot.processor.flush(self.now)
+            self.audio_segments.extend(slot.processor.drain_audio())
+            slot.active = False
+        self.traffic.active.clear()
 
     def retune(self, new_center_frequency_hz: float) -> None:
         """Tuner moved: remap every active slot's absolute frequency to
@@ -468,6 +485,8 @@ class Orchestrator:
         chunks = 0
         pending = None
         while max_chunks is None or chunks < max_chunks:
+            if self.error_state is not None:
+                break
             iq = self.source(self.chunk_samples)
             if iq is None or len(iq) < self.chunk_samples:
                 break

@@ -88,3 +88,39 @@ class TestSampleRateChange:
         ).astype(np.complex64)
         out = orch.run_chunk(iq)
         assert isinstance(out, dict)
+
+
+def test_error_state_stops_all_channels():
+    """Tuner ERROR_STATE -> every channel stops with open calls flushed
+    to AudioSegments and the run loop exits (the reference's automatic
+    channel stop, ChannelProcessingManager.java:359-389)."""
+    import numpy as np
+    from sdrtrunk_tpu.runtime.identifiers import IdentifierCollection
+    from sdrtrunk_tpu.runtime.orchestrator import Orchestrator
+    from sdrtrunk_tpu.sources.tuner import SourceEvent, SourceEventType
+
+    fs = 32 * 12500.0
+    rng = np.random.default_rng(0)
+    noise = (0.01 * (rng.standard_normal(32 * 64)
+                     + 1j * rng.standard_normal(32 * 64))
+             ).astype(np.complex64)
+    calls = [0]
+
+    def source(num):
+        calls[0] += 1
+        return noise[:num]
+
+    orch = Orchestrator(source, fs, 460e6, [25000.0], slots=3,
+                        chunk_samples=32 * 64, ppm_correction=False)
+    orch._activate(460e6 - 25000.0, IdentifierCollection())
+    assert sum(s.active for s in orch.slots) == 2
+
+    orch.run(max_chunks=2)
+    orch.on_source_event(SourceEvent(SourceEventType.ERROR_STATE,
+                                     "usb stall"))
+    assert orch.error_state == "usb stall"
+    assert not any(s.active for s in orch.slots)
+    assert not orch.traffic.active
+    before = calls[0]
+    orch.run(max_chunks=5)          # must not consume further chunks
+    assert calls[0] == before
