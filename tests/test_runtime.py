@@ -177,3 +177,51 @@ class TestAliasActions:
         action.dismiss()
         assert mgr.receive(self._ids(), "c3", now=5.0) == 0
         assert runs[0] == ["/bin/alert.sh", "SWAT", "c1"]
+
+
+class TestHeartbeatMonitor:
+    """Source stall watchdog (HeartbeatManager.java role)."""
+
+    def test_stall_fires_once_and_recovers(self):
+        from sdrtrunk_tpu.runtime.heartbeat import HeartbeatMonitor
+        t = [0.0]
+        stalls, recovers = [], []
+        mon = HeartbeatMonitor(timeout_seconds=1.0,
+                               on_stall=stalls.append,
+                               on_recover=lambda: recovers.append(1),
+                               clock=lambda: t[0])
+        mon.beat(1024)
+        t[0] = 0.5
+        assert mon.check() and not stalls
+        t[0] = 1.6                      # 1.6 s silent -> stall
+        assert not mon.check()
+        assert not mon.check()          # fires once, stays stalled
+        assert len(stalls) == 1 and stalls[0] > 1.0
+        mon.beat(1024)                  # flow resumes
+        assert not mon.stalled and recovers == [1]
+        assert mon.samples == 2048 and mon.stalls == 1
+
+    def test_stall_into_orchestrator_error_state(self):
+        """Watchdog -> ERROR_STATE -> all channels stop (the full
+        failure-detection loop of SURVEY §5)."""
+        import numpy as np
+        from sdrtrunk_tpu.runtime.heartbeat import HeartbeatMonitor
+        from sdrtrunk_tpu.runtime.orchestrator import Orchestrator
+        from sdrtrunk_tpu.sources.tuner import (SourceEvent,
+                                                SourceEventType)
+        fs = 32 * 12500.0
+        noise = np.zeros(32 * 64, np.complex64)
+        orch = Orchestrator(lambda n: noise[:n], fs, 460e6, [25000.0],
+                            slots=2, chunk_samples=32 * 64,
+                            ppm_correction=False)
+        t = [0.0]
+        mon = HeartbeatMonitor(
+            timeout_seconds=2.0, clock=lambda: t[0],
+            on_stall=lambda silent: orch.on_source_event(SourceEvent(
+                SourceEventType.ERROR_STATE,
+                f"source stalled {silent:.1f}s")))
+        mon.beat()
+        t[0] = 5.0
+        mon.check()
+        assert orch.error_state is not None
+        assert not any(s.active for s in orch.slots)
