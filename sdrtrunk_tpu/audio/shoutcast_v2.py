@@ -25,12 +25,17 @@ import struct
 from dataclasses import dataclass
 from typing import Callable
 
-__all__ = ["UltravoxMessageType", "xtea_encrypt_hex", "pack_message",
-           "unpack_message", "ShoutcastV2Client"]
+__all__ = ["UltravoxMessageType", "UltravoxSyncError", "xtea_encrypt_hex",
+           "pack_message", "unpack_message", "ShoutcastV2Client"]
 
 _SYNC = 0x5A
 _DELTA = 0x9E3779B9
 _M = 0xFFFFFFFF
+
+
+class UltravoxSyncError(ConnectionError, ValueError):
+    """Corrupted Ultravox framing (bad 0x5A sync byte) — unrecoverable on
+    a byte stream, unlike a merely incomplete frame."""
 
 
 class UltravoxMessageType:
@@ -68,8 +73,10 @@ def _xtea_block(block: bytes, s1: list[int], s2: list[int]) -> bytes:
 
 def xtea_encrypt_hex(cipher_key: str, value: str) -> str:
     """AuthenticateBroadcast.encrypt: zero-pad to 8-byte blocks, XTEA
-    each, hex-concatenate."""
-    if not value:
+    each, hex-concatenate. An empty (non-None) string pads to ONE zero
+    block -> 16 hex chars, matching the reference client
+    (AuthenticateBroadcast.encrypt:84-106); None means absent -> ""."""
+    if value is None:
         return ""
     s1, s2 = _xtea_subkeys(cipher_key.encode())
     data = value.encode()
@@ -94,7 +101,7 @@ def unpack_message(data: bytes) -> tuple[int, bytes, bytes]:
         raise ValueError("short ultravox frame")
     sync, _flags, msg_type, length = struct.unpack(">BBHH", data[:6])
     if sync != _SYNC:
-        raise ValueError(f"bad ultravox sync 0x{sync:02X}")
+        raise UltravoxSyncError(f"bad ultravox sync 0x{sync:02X}")
     if len(data) < 6 + length:
         raise ValueError("truncated ultravox payload")
     return msg_type, data[6:6 + length], data[6 + length:]
@@ -134,7 +141,9 @@ class ShoutcastV2Client:
                 msg_type, payload, rest = unpack_message(self._rx)
                 self._rx = rest
                 return msg_type, payload
-            except ValueError:
+            except UltravoxSyncError:
+                raise               # corrupt stream: fail, don't spin
+            except ValueError:      # short frame: need more bytes
                 chunk = self._socket.recv(4096)
                 if not chunk:
                     raise ConnectionError("ultravox peer closed")

@@ -35,7 +35,24 @@ import numpy as np
 from . import design
 
 __all__ = ["Channelizer", "channelize", "channel_count_for_rate",
-           "polyphase_branch_filters"]
+           "polyphase_branch_filters", "set_ifft_impl"]
+
+# IFFT path selection for _channelize_core: "auto" = MXU matmul IFFT on
+# TPU, jnp.fft.ifft elsewhere; "matmul"/"fft" force a path (tests run
+# the matmul path on CPU to validate it against the independent FFT).
+_IFFT_IMPL = "auto"
+
+
+def set_ifft_impl(impl: str) -> str:
+    """Set the channelizer IFFT path ("auto"/"matmul"/"fft"); returns the
+    previous value. NOTE: _channelize_core is jit-cached per (shape,
+    channels) — tests that flip this should use fresh shapes or clear
+    caches."""
+    global _IFFT_IMPL
+    if impl not in ("auto", "matmul", "fft"):
+        raise ValueError(impl)
+    prev, _IFFT_IMPL = _IFFT_IMPL, impl
+    return prev
 
 
 def channel_count_for_rate(sample_rate: float,
@@ -188,7 +205,9 @@ def _channelize_core(xp: jnp.ndarray, hmat: jnp.ndarray, channels: int
         backend = jax.default_backend()
     except Exception:
         backend = "cpu"
-    if backend not in ("cpu",) and _ct_tables(m) is not None:
+    use_matmul = (_IFFT_IMPL == "matmul" or
+                  (_IFFT_IMPL == "auto" and backend == "tpu"))
+    if use_matmul and _ct_tables(m) is not None:
         y = _matmul_ifft(u, m) * m
     else:
         y = jnp.fft.ifft(u, axis=-1) * m

@@ -18,7 +18,9 @@ sequential loop runs; carried state lives in scratch across grid steps
 last step.
 
 Semantics are identical to DQPSKDemodulator._step (same op order, same
-clamps); tests assert dibit-level agreement between the two paths.
+clamps); tests/test_pallas_psk.py runs this kernel in Pallas interpret
+mode on CPU and asserts dibit/valid/state agreement with the XLA scan,
+including carried-state handoff across calls and grid steps.
 """
 from __future__ import annotations
 
@@ -178,12 +180,14 @@ def _pick_chunk(t: int, target: int = 512) -> int:
     return best
 
 
-def dqpsk_pallas_batched(demod, x: jnp.ndarray, state):
+def dqpsk_pallas_batched(demod, x: jnp.ndarray, state, *,
+                         interpret: bool = False):
     """Run DQPSKDemodulator semantics over (C, T) complex x via the Pallas
     kernel. state: DQPSKState with leading-C leaves (window (C, W)).
     Returns (dibits (C,T) int32, valid (C,T) bool, new state) exactly like
     DQPSKDemodulator.batched. Returns None if the shape doesn't fit the
-    kernel (caller falls back to the XLA scan).
+    kernel (caller falls back to the XLA scan). interpret=True runs the
+    kernel in the Pallas interpreter (CPU agreement tests).
     """
     c, t = x.shape
     tc = _pick_chunk(t)
@@ -231,6 +235,7 @@ def dqpsk_pallas_batched(demod, x: jnp.ndarray, state):
     full = lambda i: (0, 0)                     # noqa: E731 — constant block
     packed, fw_re, fw_im, fscal = pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tc, cp), lambda i: (i, 0),

@@ -268,9 +268,18 @@ class DQPSKDemodulator:
                 backend = jax.default_backend()
             except Exception:
                 backend = "cpu"
-            if self.impl == "pallas" or backend not in ("cpu",):
+            # auto only on tpu — pltpu memory spaces raise at trace time
+            # on gpu/rocm; impl="pallas" still forces the kernel (tests
+            # run it in interpret mode on CPU)
+            if self.impl == "pallas" or backend == "tpu":
                 from .pallas_psk import dqpsk_pallas_batched
-                out = dqpsk_pallas_batched(self, x, state)
+                try:
+                    out = dqpsk_pallas_batched(
+                        self, x, state, interpret=(backend != "tpu"))
+                except Exception:
+                    if self.impl == "pallas":
+                        raise
+                    out = None
                 if out is not None:
                     return out
         return self._scan_batched(x, state)
@@ -335,6 +344,12 @@ class GardnerDQPSKDemodulator:
 
     The amplitude-sensitive TED handles the intersymbol fading of
     simulcast channels where the decision-directed detector loses lock.
+
+    State-format note: `window_len` (below) feeds the GardnerState window
+    shape, so changing the formula invalidates previously saved
+    checkpoints — runtime/checkpoint.py fingerprints leaf shapes, making
+    a stale checkpoint fail loudly with a StateCheckpointError rather
+    than restoring a misaligned delay line.
 
     Like DQPSKDemodulator, the scan body is natively batched: window
     (W, C), scalars (C,). The integer-base window fetch

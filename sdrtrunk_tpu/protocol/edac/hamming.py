@@ -31,6 +31,16 @@ class HammingCode:
         cols = np.asarray(columns, np.int64)
         identity = (1 << (self.r - 1 - np.arange(self.r))).astype(np.int64)
         self.cols = np.concatenate([cols, identity])  # (n,)
+        # batch-decode tables: bit-matrix of the parity-check columns and
+        # a syndrome -> error-position LUT (-1 = no single-bit match)
+        self._colbits = ((self.cols[:, None] >>
+                          (self.r - 1 - np.arange(self.r))[None, :]) & 1
+                         ).astype(np.uint8)           # (n, r)
+        lut = np.full(1 << self.r, -1, np.int64)
+        for i in range(self.n - 1, -1, -1):           # first match wins
+            lut[self.cols[i]] = i
+        lut[0] = -2                                   # zero syndrome = clean
+        self._pos_lut = lut
 
     def encode(self, data: np.ndarray) -> np.ndarray:
         d = np.asarray(data, np.uint8)
@@ -62,6 +72,27 @@ class HammingCode:
             return w, None
         w[matches[0]] ^= 1
         return w, 1
+
+    def decode_batch(self, words: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized decode of (..., n) words.
+
+        Returns (corrected (..., n), nerr (...,)) with nerr = 0 (clean),
+        1 (single error corrected) or -1 (uncorrectable). One syndrome
+        matmul + LUT for the whole batch — the scalar decode() loop was a
+        measured hot spot at 1000-channel LDU framing scale."""
+        w = np.asarray(words, np.uint8)
+        synd_bits = (w @ self._colbits) & 1           # (..., r)
+        synd = synd_bits @ (1 << (self.r - 1 -
+                                  np.arange(self.r))).astype(np.int64)
+        pos = self._pos_lut[synd]                     # (...,)
+        out = w.copy()
+        flip = pos >= 0
+        if np.any(flip):
+            idx = np.nonzero(flip)
+            out[idx + (pos[flip],)] ^= 1
+        nerr = np.where(pos == -2, 0, np.where(pos >= 0, 1, -1))
+        return out, nerr
 
 
 HAMMING_10_6_3 = HammingCode(

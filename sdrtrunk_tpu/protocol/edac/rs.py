@@ -34,6 +34,16 @@ class ReedSolomon:
             root = gf.pow_alpha(fcr + i)
             g = gf.poly_mul(g, np.array([root, 1], dtype=np.int64))
         self.genpoly = g  # len nroots+1, g[-1] == 1
+        # syndrome exponent matrix: S_i = XOR_j coeff_j * alpha^((fcr+i)*j)
+        # with coeff_j = received[n-1-j]; precomputing the log of each
+        # alpha power turns the per-word Horner loop into one table-lookup
+        # + XOR-reduce (the Python-loop Horner was the host hot spot at
+        # 1000-channel framing scale)
+        q1 = gf.size - 1
+        self._synd_logp = (np.outer(np.arange(self.nroots) + fcr,
+                                    np.arange(self.n)) % q1)  # (nroots, n)
+        # Chien inverse points: alpha^{-(n-1-p)} for wire position p
+        self._chien_x = gf.exp[(-(self.n - 1 - np.arange(self.n))) % q1]
 
     # ---------------- encode ----------------
 
@@ -57,6 +67,20 @@ class ReedSolomon:
 
     # ---------------- decode ----------------
 
+    def syndromes(self, received: np.ndarray) -> np.ndarray:
+        """Syndromes S_i = R(alpha^(fcr+i)) for wire-order word(s).
+
+        received: (..., n) -> (..., nroots); fully vectorized over any
+        leading batch axes (the bank framer checks every NID candidate of
+        every channel in one call)."""
+        gf = self.gf
+        r = np.asarray(received, np.int64)
+        coeffs = r[..., ::-1]                      # index j -> coeff of x^j
+        logc = gf.log[coeffs]                      # -1 sentinel at 0
+        e = gf.exp[(logc[..., None, :] + self._synd_logp) % (gf.size - 1)]
+        e = np.where(coeffs[..., None, :] != 0, e, 0)
+        return np.bitwise_xor.reduce(e, axis=-1)
+
     def decode(self, received: np.ndarray):
         """received (n,) -> (corrected (n,), n_corrected | None).
 
@@ -66,15 +90,7 @@ class ReedSolomon:
         if len(r) != self.n:
             raise ValueError(f"expected {self.n} symbols, got {len(r)}")
         gf = self.gf
-        # received poly coeffs ascending: r[0] is the highest-order symbol
-        # (first on wire). coefficient of x^j is r[n-1-j].
-        shorten = (gf.size - 1) - self.n
-
-        # syndromes S_i = R(alpha^(fcr+i))
-        synd = np.zeros(self.nroots, dtype=np.int64)
-        coeffs_asc = r[::-1]  # index j -> coeff of x^j
-        for i in range(self.nroots):
-            synd[i] = int(gf.poly_eval(coeffs_asc, gf.pow_alpha(self.fcr + i)))
+        synd = self.syndromes(r)
         if not np.any(synd):
             return r, 0
 
@@ -112,14 +128,13 @@ class ReedSolomon:
         if L > self.t:
             return r, None
 
-        # Chien search over valid positions of the (possibly shortened) code
-        # error position p (0-based from wire start) corresponds to
-        # coefficient x^(n-1-p); locator root test: sigma(alpha^{-(n-1-p)})==0
-        positions = []
-        for p in range(self.n):
-            xinv = gf.pow_alpha(-(self.n - 1 - p))
-            if int(gf.poly_eval(sigma[: L + 1], xinv)) == 0:
-                positions.append(p)
+        # Chien search over valid positions of the (possibly shortened)
+        # code: error position p (0-based from wire start) corresponds to
+        # coefficient x^(n-1-p); locator root test:
+        # sigma(alpha^{-(n-1-p)}) == 0 — evaluated at all n inverse
+        # points in one vectorized poly_eval
+        positions = np.nonzero(
+            gf.poly_eval(sigma[: L + 1], self._chien_x) == 0)[0].tolist()
         if len(positions) != L:
             return r, None
 
@@ -149,8 +164,6 @@ class ReedSolomon:
                 mag = int(gf.mul(mag, int(gf.pow_alpha(j * (1 - self.fcr)))))
             r[p] ^= mag
         # verify: recompute syndromes
-        coeffs_asc = r[::-1]
-        for i in range(self.nroots):
-            if int(gf.poly_eval(coeffs_asc, gf.pow_alpha(self.fcr + i))) != 0:
-                return np.asarray(received, np.int64), None
+        if np.any(self.syndromes(r)):
+            return np.asarray(received, np.int64), None
         return r, L

@@ -76,18 +76,20 @@ def _hexbits_to_payload(hexbits24: np.ndarray, voice_frames: np.ndarray,
     return payload
 
 
+# (24, 10) bit positions of the coded LC hexbit words in the payload
+_LC_WORD_POS = np.array([goff + 10 * j + np.arange(10)
+                         for goff in LC_GROUP_OFFSETS
+                         for j in range(4)])
+_HEX_W = (1 << (5 - np.arange(6))).astype(np.int64)
+
+
 def _payload_to_hexbits(payload: np.ndarray):
-    """-> (24 hexbit values, hamming_corrected_bits)."""
-    hexbits = np.zeros(24, dtype=np.int64)
-    corrected = 0
-    for g, goff in enumerate(LC_GROUP_OFFSETS):
-        for j in range(4):
-            word = payload[goff + 10 * j: goff + 10 * j + 10]
-            dec, nerr = HAMMING_10_6_3.decode(word)
-            if nerr:
-                corrected += nerr
-            hexbits[4 * g + j] = to_int(dec, 0, 6)
-    return hexbits, corrected
+    """-> (24 hexbit values, hamming_corrected_bits); one batched
+    Hamming(10,6,3) decode over all 24 words."""
+    words = payload[_LC_WORD_POS]                       # (24, 10)
+    dec, nerr = HAMMING_10_6_3.decode_batch(words)
+    hexbits = dec[:, :6].astype(np.int64) @ _HEX_W
+    return hexbits, int(nerr[nerr > 0].sum())
 
 
 def ldu1_encode(lc_bits72: np.ndarray, voice_frames: np.ndarray,

@@ -54,7 +54,12 @@ def test_xtea_matches_textbook_form():
     # credential helper: 8-byte blocks, hex output, zero padding
     out = xtea_encrypt_hex("secretkey", "password1")   # 9 bytes -> 2 blocks
     assert len(out) == 32 and all(c in "0123456789abcdef" for c in out)
-    assert xtea_encrypt_hex("secretkey", "") == ""
+    # empty (non-None) credential pads to ONE zero block, like the
+    # reference client (AuthenticateBroadcast.encrypt); None = absent
+    s1, s2 = _xtea_subkeys(b"secretkey")
+    assert xtea_encrypt_hex("secretkey", "") == \
+        _xtea_block(bytes(8), s1, s2).hex()
+    assert xtea_encrypt_hex("secretkey", None) == ""
 
 
 class ScriptedServer:
