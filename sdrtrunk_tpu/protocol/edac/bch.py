@@ -53,6 +53,28 @@ class BCH_63_16_11:
         self._rs = ReedSolomon(63, 41, GF64_P25)
         self._gen = _bch_generator_poly()  # degree 47
         assert len(self._gen) == 48
+        # binary parity-check rows: M[k] = x^(62-k) mod g(x) (ascending
+        # coeffs, 47 wide). A word is a valid codeword iff
+        # bits @ M % 2 == 0 — one uint8 matmul checks a whole batch,
+        # ~50x cheaper than the GF(64) syndrome path (used by the bank
+        # framer to screen every NID candidate of every channel).
+        m = np.zeros((63, 47), np.uint8)
+        cur = np.zeros(48, np.uint8)
+        cur[0] = 1
+        g = self._gen.astype(np.uint8)
+        for power in range(63):
+            m[62 - power] = cur[:47]
+            cur = np.concatenate([[0], cur[:47]])
+            if cur[47]:
+                cur ^= g
+        self._parity_rows = m
+
+    def check_batch(self, bits: np.ndarray) -> np.ndarray:
+        """(..., 63) bit words -> (...,) bool: True where the word is a
+        valid BCH(63,16) codeword (zero remainder mod g)."""
+        b = np.asarray(bits, np.uint8)
+        rem = (b @ self._parity_rows.astype(np.int64)) & 1
+        return ~np.any(rem, axis=-1)
 
     def encode(self, data_bits: np.ndarray) -> np.ndarray:
         """16 data bits -> 64-bit NID word (63 BCH + even-parity bit)."""

@@ -77,7 +77,10 @@ class ReedSolomon:
         r = np.asarray(received, np.int64)
         coeffs = r[..., ::-1]                      # index j -> coeff of x^j
         logc = gf.log[coeffs]                      # -1 sentinel at 0
-        e = gf.exp[(logc[..., None, :] + self._synd_logp) % (gf.size - 1)]
+        # the exp table is doubled, so the exponent sum (<= 2q-4, >= -1
+        # only when coeff==0, which is masked) indexes it without a
+        # modulo — the % was a measured hot spot on large batches
+        e = gf.exp[logc[..., None, :] + self._synd_logp]
         e = np.where(coeffs[..., None, :] != 0, e, 0)
         return np.bitwise_xor.reduce(e, axis=-1)
 

@@ -26,7 +26,8 @@ from .duid import DUID, MESSAGE_LENGTHS, SYNC_PATTERNS
 from .nid import NID
 
 __all__ = ["P25P1Frame", "P25P1Framer", "P25P1FrameAssembler",
-           "payload_dibit_positions"]
+           "payload_dibit_positions", "assemble_tsbk", "assemble_pdu",
+           "chunk_bits"]
 
 SYNC_DIBITS = 24
 NID_DIBITS = 32
@@ -48,6 +49,47 @@ def payload_dibit_positions(count: int) -> np.ndarray:
     0..count-1, skipping the interleaved status dibits."""
     k = np.arange(count)
     return HEADER_DIBITS + k + (k + 21) // 35
+
+
+def chunk_bits(stream: np.ndarray, s: int, remap: np.ndarray,
+               n_chunks: int):
+    """Extract n_chunks consecutive 196-bit (98-dibit) chunks of
+    status-stripped payload from `stream` at frame start `s`, or None if
+    the stream ends first."""
+    pos = s + payload_dibit_positions(98 * n_chunks)
+    if pos[-1] >= len(stream):
+        return None
+    return dibits_to_bits(remap[stream[pos]])
+
+
+def assemble_tsbk(stream: np.ndarray, s: int, remap: np.ndarray):
+    """TSBK frames carry 1-3 trellis blocks; the last-block flag of each
+    decoded block says whether another follows
+    (P25P1MessageFramer TSBK assembly)."""
+    from .tsbk import tsbk_decode
+    for n in range(1, 4):
+        bits = chunk_bits(stream, s, remap, n)
+        if bits is None:
+            return None
+        t = tsbk_decode(bits[-196:])
+        if t is None or t.last_block or n == 3:
+            return bits
+
+
+def assemble_pdu(stream: np.ndarray, s: int, remap: np.ndarray):
+    """PDU frames: 196-bit header names blocks_to_follow more chunks
+    (pdu/PDUMessageFactory.java createPacketSequence)."""
+    from .pdu import pdu_decode_header
+    head = chunk_bits(stream, s, remap, 1)
+    if head is None:
+        return None
+    header = pdu_decode_header(head)
+    if header is None:
+        return None
+    n_blocks = min(header.blocks_to_follow, MAX_PDU_BLOCKS)
+    if n_blocks == 0:
+        return head
+    return chunk_bits(stream, s, remap, 1 + n_blocks)
 
 
 @dataclass
@@ -117,12 +159,7 @@ class P25P1Framer:
         return frames
 
     def _chunk_bits(self, stream, s, remap, n_chunks):
-        """Extract n_chunks consecutive 196-bit (98-dibit) chunks of
-        status-stripped payload, or None if the stream ends first."""
-        pos = s + payload_dibit_positions(98 * n_chunks)
-        if pos[-1] >= len(stream):
-            return None
-        return dibits_to_bits(remap[stream[pos]])
+        return chunk_bits(stream, s, remap, n_chunks)
 
     def _try_frame(self, stream, s, remap, rotation, sync_errors, base):
         nid_dibits = np.concatenate(
@@ -156,32 +193,10 @@ class P25P1Framer:
                          rotation=rotation)
 
     def _assemble_tsbk(self, stream, s, remap):
-        """TSBK frames carry 1-3 trellis blocks; the last-block flag of
-        each decoded block says whether another follows
-        (P25P1MessageFramer TSBK assembly)."""
-        from .tsbk import tsbk_decode
-        for n in range(1, 4):
-            bits = self._chunk_bits(stream, s, remap, n)
-            if bits is None:
-                return None
-            t = tsbk_decode(bits[-196:])
-            if t is None or t.last_block or n == 3:
-                return bits
+        return assemble_tsbk(stream, s, remap)
 
     def _assemble_pdu(self, stream, s, remap):
-        """PDU frames: 196-bit header names blocks_to_follow more chunks
-        (pdu/PDUMessageFactory.java createPacketSequence)."""
-        from .pdu import pdu_decode_header
-        head = self._chunk_bits(stream, s, remap, 1)
-        if head is None:
-            return None
-        header = pdu_decode_header(head)
-        if header is None:
-            return None
-        n_blocks = min(header.blocks_to_follow, MAX_PDU_BLOCKS)
-        if n_blocks == 0:
-            return head
-        return self._chunk_bits(stream, s, remap, 1 + n_blocks)
+        return assemble_pdu(stream, s, remap)
 
 
 class P25P1FrameAssembler:

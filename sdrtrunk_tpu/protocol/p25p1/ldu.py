@@ -30,7 +30,8 @@ from ..edac.rs import ReedSolomon
 from .lc import LinkControl, lc_parse
 
 __all__ = ["LDU1", "LDU2", "ldu1_encode", "ldu1_decode", "ldu2_encode",
-           "ldu2_decode", "VOICE_OFFSETS", "LC_GROUP_OFFSETS"]
+           "ldu2_decode", "ldu1_decode_batch", "ldu2_decode_batch",
+           "VOICE_OFFSETS", "LC_GROUP_OFFSETS"]
 
 VOICE_OFFSETS = [0, 144, 328, 512, 696, 880, 1064, 1248, 1424]
 LC_GROUP_OFFSETS = [288, 472, 656, 840, 1024, 1208]  # 4 hexbits each
@@ -92,6 +93,21 @@ def _payload_to_hexbits(payload: np.ndarray):
     return hexbits, int(nerr[nerr > 0].sum())
 
 
+def _hexbits_batch(payloads: np.ndarray):
+    """(N, 1568) -> (hexbits (N, 24), hamming_corrected (N,))."""
+    words = payloads[:, _LC_WORD_POS]                   # (N, 24, 10)
+    dec, nerr = HAMMING_10_6_3.decode_batch(words)
+    hexbits = dec[..., :6].astype(np.int64) @ _HEX_W
+    return hexbits, np.where(nerr > 0, nerr, 0).sum(axis=1)
+
+
+def _hex_to_bits(hexvals: np.ndarray) -> np.ndarray:
+    """(k,) hexbit values -> (6k,) bits."""
+    return ((np.asarray(hexvals, np.int64)[:, None]
+             >> (5 - np.arange(6))[None, :]) & 1
+            ).astype(np.uint8).reshape(-1)
+
+
 def ldu1_encode(lc_bits72: np.ndarray, voice_frames: np.ndarray,
                 lsd: np.ndarray | None = None) -> np.ndarray:
     lc_bits72 = np.asarray(lc_bits72, np.uint8)
@@ -137,6 +153,62 @@ def ldu2_encode(mi_bits72: np.ndarray, algorithm_id: int, key_id: int,
     lsd = np.zeros(32, np.uint8) if lsd is None else np.asarray(lsd, np.uint8)
     return _hexbits_to_payload(hexbits, np.asarray(voice_frames, np.uint8),
                                lsd)
+
+
+def ldu1_decode_batch(payloads: np.ndarray) -> list[LDU1]:
+    """Vectorized ldu1_decode over (N, 1568) payloads — the bank framer's
+    hot path at 1000-channel scale. RS error correction falls back to the
+    scalar decoder only for words with nonzero syndromes (rare on a live
+    signal); results are identical to ldu1_decode row by row."""
+    p = np.asarray(payloads, np.uint8).reshape(-1, 1568)
+    if p.shape[0] == 0:
+        return []
+    hexbits, ham = _hexbits_batch(p)
+    synd_ok = ~np.any(_RS_24_12.syndromes(hexbits), axis=1)
+    voice = p[:, np.add.outer(np.asarray(VOICE_OFFSETS), np.arange(144))]
+    out = []
+    for i in range(len(p)):
+        if synd_ok[i]:
+            cw, rs_err = hexbits[i], 0
+        else:
+            cw, rs_err = _RS_24_12.decode(hexbits[i])
+        lc = None
+        corrected = int(ham[i])
+        if rs_err is not None:
+            corrected += rs_err
+            lc = lc_parse(_hex_to_bits(cw[:12]))
+        out.append(LDU1(link_control=lc, voice_frames=voice[i],
+                        lsd=p[i, 1392:1424], corrected=corrected))
+    return out
+
+
+def ldu2_decode_batch(payloads: np.ndarray) -> list[LDU2]:
+    """Vectorized ldu2_decode over (N, 1568) payloads (see
+    ldu1_decode_batch)."""
+    p = np.asarray(payloads, np.uint8).reshape(-1, 1568)
+    if p.shape[0] == 0:
+        return []
+    hexbits, ham = _hexbits_batch(p)
+    synd_ok = ~np.any(_RS_24_16.syndromes(hexbits), axis=1)
+    voice = p[:, np.add.outer(np.asarray(VOICE_OFFSETS), np.arange(144))]
+    out = []
+    for i in range(len(p)):
+        if synd_ok[i]:
+            cw, rs_err = hexbits[i], 0
+        else:
+            cw, rs_err = _RS_24_16.decode(hexbits[i])
+        mi = algid = kid = None
+        corrected = int(ham[i])
+        if rs_err is not None:
+            corrected += rs_err
+            data_bits = _hex_to_bits(cw[:16])
+            mi = data_bits[:72]
+            algid = to_int(data_bits, 72, 80)
+            kid = to_int(data_bits, 80, 96)
+        out.append(LDU2(message_indicator=mi, algorithm_id=algid,
+                        key_id=kid, voice_frames=voice[i],
+                        lsd=p[i, 1392:1424], corrected=corrected))
+    return out
 
 
 def ldu2_decode(payload: np.ndarray) -> LDU2:

@@ -1,0 +1,121 @@
+"""Bank-scale host processing: the per-slot message half of the live
+loop, vectorized across a whole slot bank.
+
+Role: at the ~1000-channel target, the per-slot ChannelProcessor path
+(runtime/processors.py) costs ~1 ms of Python per slot-chunk — 2.5x
+real time on its own. A BankProcessor owns ALL slots of one protocol:
+one P25P1BankFramer call per chunk frames every slot at once, and only
+the decoded messages (a few thousand per second, not a few thousand
+Python calls per chunk) touch per-slot decoder states.
+
+Device packing contract (runtime/orchestrator.py bank-mode live step):
+  dib4:   (C, cap//4) uint8 — compacted dibits, 4 per byte, little
+          2-bit groups (dibit j of byte = (b >> 2j) & 3)
+  counts: (C,) int32 — valid symbols per slot this chunk
+  hits:   (C, cap//8) uint8 — sync-hit bitmask, MSB-first per byte
+          (np.unpackbits order); bit i = candidate sync at compact lag i
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..audio.mbe import MBEAudioModule, MBECodec
+from ..protocol.p25p1.bankframer import P25P1BankFramer
+from .identifiers import IdentifierCollection
+from .metrics import ChannelMetrics
+from .p25_state import P25P1DecoderState
+from .traffic import TrafficChannelManager
+
+__all__ = ["unpack_dibits", "unpack_hits", "P25P1BankProcessor"]
+
+
+def unpack_dibits(packed: np.ndarray) -> np.ndarray:
+    """(C, cap//4) uint8 -> (C, cap) uint8 dibits."""
+    c, q = packed.shape
+    out = np.empty((c, q * 4), np.uint8)
+    out[:, 0::4] = packed & 3
+    out[:, 1::4] = (packed >> 2) & 3
+    out[:, 2::4] = (packed >> 4) & 3
+    out[:, 3::4] = (packed >> 6) & 3
+    return out
+
+
+def unpack_hits(packed: np.ndarray) -> np.ndarray:
+    """(C, cap//8) uint8 -> (C, cap) bool hit mask."""
+    return np.unpackbits(np.asarray(packed, np.uint8), axis=1).astype(bool)
+
+
+class P25P1BankProcessor:
+    """All P25P1 slots of a live receiver: bank framer + per-slot decoder
+    states + MBE audio. The orchestrator routes activation/teardown and
+    reads events through the control slot's TrafficChannelManager exactly
+    as with per-slot processors."""
+
+    protocol = "APCO25"
+
+    def __init__(self, channels: int, control_slots: set[int],
+                 traffic: TrafficChannelManager | None = None,
+                 codec: MBECodec | None = None, retain: int = 2048):
+        self.c = channels
+        self.control_slots = set(control_slots)
+        self.traffic = traffic
+        self.codec = codec
+        self.framer = P25P1BankFramer(channels, retain=retain)
+        self.states: list[P25P1DecoderState | None] = [None] * channels
+        self.audio: list[MBEAudioModule | None] = [None] * channels
+        self.metrics = [ChannelMetrics() for _ in range(channels)]
+        self.frame_counts = np.zeros(channels, np.int64)
+        for s in self.control_slots:
+            self.reset_slot(s)
+
+    def reset_slot(self, slot: int,
+                   preload: IdentifierCollection | None = None) -> None:
+        """Fresh decoder state for a slot (grant activation / control
+        start) — the host half of the device-side reset_slot scatter."""
+        audio = MBEAudioModule(codec=self.codec)
+        state = P25P1DecoderState(
+            traffic=self.traffic if slot in self.control_slots else None,
+            audio=audio)
+        if preload is not None:
+            state.identifiers.update_all(preload.all())
+        self.states[slot] = state
+        self.audio[slot] = audio
+        self.frame_counts[slot] = 0
+
+    def process_bank(self, dib4: np.ndarray, counts: np.ndarray,
+                     hits: np.ndarray, active: np.ndarray, now: float
+                     ) -> np.ndarray:
+        """One chunk for the whole bank. active: (C,) bool — messages on
+        inactive slots are discarded (their device stream still flows).
+        Returns per-slot frame counts for this chunk."""
+        dib = unpack_dibits(np.asarray(dib4))
+        hitmask = unpack_hits(np.asarray(hits))[:, : dib.shape[1]]
+        msgs = self.framer.process(dib, counts, device_hits=hitmask)
+        frames = np.zeros(self.c, np.int64)
+        for slot, msg in msgs:
+            if not active[slot] or self.states[slot] is None:
+                continue
+            frames[slot] += 1
+            self.metrics[slot].message(msg.valid)
+            self.states[slot].receive(msg, now)
+        for s in np.nonzero(active)[0]:
+            self.metrics[s].update(int(counts[s]), range(int(frames[s])))
+        self.frame_counts += frames
+        return frames
+
+    def drain_audio(self, slot: int) -> list:
+        module = self.audio[slot]
+        if module is None:
+            return []
+        done = module.completed
+        module.completed = []
+        return done
+
+    def flush(self, slot: int, now: float) -> None:
+        module = self.audio[slot]
+        if module is not None and module.segment is not None:
+            module.end_call(now)
+
+    def channel_state(self, slot: int):
+        state = self.states[slot]
+        return state.state_machine.state if state is not None else None

@@ -84,7 +84,8 @@ class Orchestrator:
                  ppm_observation_seconds: float = 30.0,
                  control_rotation=None,
                  rotation_delay: float = 0.5,
-                 event_log_path=None):
+                 event_log_path=None,
+                 bank_mode: bool | None = None):
         """control_rotation: optional list of absolute candidate control
         frequencies — while the control slot fails to reach CONTROL
         state within rotation_delay, cycle through them
@@ -105,18 +106,38 @@ class Orchestrator:
         self.rx = WidebandReceiver(sample_rate, [0.0] * slots,
                                    channel_bandwidth=channel_bandwidth,
                                    decoder=decoder)
-        # complex-safe dynamic step: state crosses the jit boundary as
-        # float pairs so the live loop runs on the tunneled TPU backend,
-        # and the per-slot outputs are packed ON DEVICE into one compact
-        # array per chunk — the tunnel's device->host transfers are
-        # latency-bound (measured ~25-100 ms per array), so the naive
-        # dibits+valid+power pulls made the live loop 0.3x realtime
-        self.step, self.state, self._reset_slot = self._build_live_step()
         m = self.rx.channelizer.channels
         self.chunk_samples = (chunk_samples if chunk_samples is not None
                               else self._default_chunk(m))
         if self.chunk_samples % m != 0:
             raise ValueError(f"chunk_samples must be a multiple of {m}")
+
+        # bank mode: at >=32 slots the per-slot host path (framer +
+        # message decode per slot-chunk, ~1 ms each) cannot keep up; the
+        # device additionally compacts + sync-correlates the dibit
+        # streams and the host runs one P25P1BankFramer over the whole
+        # bank (runtime/bank_processor.py). Same product surface
+        # (events, audio, traffic following) — different scaling tier.
+        if bank_mode is None:
+            bank_mode = decoder in ("c4fm", "p25p1") and slots >= 32
+        if bank_mode and decoder not in ("c4fm", "p25p1"):
+            raise ValueError(f"bank_mode not supported for {decoder!r}")
+        self.bank_mode = bank_mode
+        self.bank_proc = None
+        if bank_mode:
+            k = 2 * self.chunk_samples // m
+            demod = self.rx.decoder.demod
+            sps_min = demod.samples_per_symbol * (1.0 - demod.max_deviation)
+            self._bank_cap = int(np.ceil((k / sps_min + 8) / 64)) * 64
+
+        # complex-safe dynamic step: state crosses the jit boundary as
+        # float pairs so the live loop runs on the tunneled TPU backend,
+        # and the per-slot outputs are packed ON DEVICE into one compact
+        # array per chunk — the tunnel's device->host transfers are
+        # latency-bound (measured ~25-100 ms per array) and move only
+        # ~50-60 MB/s, so the naive dibits+valid+power pulls made the
+        # live loop 0.3x realtime
+        self.step, self.state, self._reset_slot = self._build_live_step()
 
         # slot control arrays — the RUNTIME channel plan (bin pairs; a
         # single-bin slot repeats its index, see ChannelPlan); the device
@@ -137,14 +158,20 @@ class Orchestrator:
             on_activate=self._activate, on_teardown=self._teardown)
         if self.event_logger is not None:
             self.traffic.event_sink = self.event_logger.receive
+        if self.bank_mode:
+            from .bank_processor import P25P1BankProcessor
+            self.bank_proc = P25P1BankProcessor(
+                slots, control_slots=set(range(len(control_offsets_hz))),
+                traffic=self.traffic, codec=self.codec)
         for i, off in enumerate(control_offsets_hz):
             slot = self.slots[i]
             slot.is_control = True
             slot.active = True
             slot.frequency_hz = self.center_frequency_hz + float(off)
-            slot.processor = make_channel_processor(
-                decoder, traffic=self.traffic, codec=self.codec)
-            self._wire_logger(slot.processor)
+            if not self.bank_mode:
+                slot.processor = make_channel_processor(
+                    decoder, traffic=self.traffic, codec=self.codec)
+                self._wire_logger(slot.processor)
             self._tune(i, float(off))
         self.rotation = None
         if control_rotation:
@@ -181,10 +208,59 @@ class Orchestrator:
 
         from ..parallel.boundary import complex_safe, pack_tree
         base = self.rx.build_dynamic()
+        bank_cap = self._bank_cap if self.bank_mode else None
+
+        def ingest(x):
+            # 8-bit IQ pairs are the live wire format (an RTL dongle's
+            # native stream, and all the ~50 MB/s tunnel can carry at
+            # 12.8 MHz); float pairs / complex accepted too
+            if x.dtype == jnp.int8:
+                return x.astype(jnp.float32) * (1.0 / 127.0)
+            return x
+
+        def compact_and_correlate(dib, valid):
+            """On-device symbol compaction + sync correlation + packing
+            (see runtime/bank_processor.py for the host-side contract)."""
+            c, k = dib.shape
+            t_iota = jax.lax.broadcasted_iota(jnp.int32, (c, k), 1)
+            # one fused sort key: sample index (invalid -> k) in the
+            # high bits, the dibit riding in the low 2 bits
+            combined = jnp.where(valid, t_iota, k) * 4 + dib.astype(jnp.int32)
+            sdib = (jax.lax.sort(combined, dimension=-1) & 3)[:, :bank_cap]
+            counts = jnp.sum(valid, axis=-1).astype(jnp.int32)
+            # pack 4 dibits/byte (little 2-bit groups)
+            d4 = sdib.reshape(c, bank_cap // 4, 4)
+            dib4 = (d4 * jnp.array([1, 4, 16, 64], jnp.int32)
+                    ).sum(-1).astype(jnp.uint8)
+            # XOR-popcount sync correlation over the compact stream:
+            # 24 shifted fused adds per bit plane per pattern (a
+            # lax.conv with 2 channels lowers ~10x slower on TPU)
+            from ..protocol.p25p1.bankframer import SYNC_DIBIT_PATTERNS
+            hi = (sdib >> 1).astype(jnp.int32)
+            lo = (sdib & 1).astype(jnp.int32)
+            lags = bank_cap - 23
+            best = jnp.full((c, lags), 96, jnp.int32)
+            for pat in np.asarray(SYNC_DIBIT_PATTERNS):
+                err = jnp.zeros((c, lags), jnp.int32)
+                for j in range(24):
+                    err = (err + (hi[:, j:j + lags] != int(pat[j] >> 1))
+                           + (lo[:, j:j + lags] != int(pat[j] & 1)))
+                best = jnp.minimum(best, err)
+            hits = jnp.pad(best <= 9, ((0, 0), (0, 23)))
+            h8 = hits.reshape(c, bank_cap // 8, 8).astype(jnp.int32)
+            hbits = (h8 * jnp.array([128, 64, 32, 16, 8, 4, 2, 1],
+                                    jnp.int32)).sum(-1).astype(jnp.uint8)
+            return dib4, counts, hbits
 
         def fused(x, state, bins, steps):
-            out, st = base(x, state, bins, steps)
-            if "dibits" in out:
+            out, st = base(ingest(x), state, bins, steps)
+            if "dibits" in out and bank_cap is not None:
+                dib4, counts, hbits = compact_and_correlate(
+                    out["dibits"], out["valid"])
+                out2 = {"dib4": dib4, "counts": counts, "hits": hbits}
+                if "pll_freq" in out:
+                    out2["pll_freq"] = out["pll_freq"]
+            elif "dibits" in out:
                 sym = (out["dibits"].astype(jnp.int32)
                        | (out["valid"].astype(jnp.int32) << 2)
                        ).astype(jnp.int8)
@@ -245,6 +321,21 @@ class Orchestrator:
                 and hasattr(processor.state, "history"):
             processor.state.history.add_listener(self.event_logger.receive)
 
+    def _bank_reset_slot(self, index: int, preload=None) -> None:
+        self.bank_proc.reset_slot(index, preload=preload)
+        state = self.bank_proc.states[index]
+        if self.event_logger is not None and hasattr(state, "history"):
+            state.history.add_listener(self.event_logger.receive)
+
+    def _slot_flush_drain(self, slot) -> None:
+        """Flush open calls on a slot and collect its audio segments."""
+        if self.bank_mode:
+            self.bank_proc.flush(slot.index, self.now)
+            self.audio_segments.extend(self.bank_proc.drain_audio(slot.index))
+        elif slot.processor is not None:
+            slot.processor.flush(self.now)
+            self.audio_segments.extend(slot.processor.drain_audio())
+
     def _rotate_control(self, frequency_hz: float) -> None:
         """Rotation monitor fired: move the control slot to the next
         candidate frequency (SourceEvent frequency-rotation request ->
@@ -286,10 +377,11 @@ class Orchestrator:
         ChannelProcessingManager.java:359-389)."""
         self.error_state = reason or "error"
         for slot in self.slots:
-            if not slot.active or slot.processor is None:
+            if not slot.active:
                 continue
-            slot.processor.flush(self.now)
-            self.audio_segments.extend(slot.processor.drain_audio())
+            if not self.bank_mode and slot.processor is None:
+                continue
+            self._slot_flush_drain(slot)
             slot.active = False
         self.traffic.active.clear()
 
@@ -310,8 +402,7 @@ class Orchestrator:
                     raise ValueError(
                         f"retune to {new_center_frequency_hz} drops the "
                         f"control channel at {slot.frequency_hz}")
-                slot.processor.flush(self.now)
-                self.audio_segments.extend(slot.processor.drain_audio())
+                self._slot_flush_drain(slot)
                 slot.active = False
                 self.skipped_grants.append(slot.frequency_hz)
                 continue
@@ -327,9 +418,14 @@ class Orchestrator:
             self.sample_rate, [0.0] * slots,
             channel_bandwidth=self.channel_bandwidth,
             decoder=self.decoder_name)
-        self.step, self.state, self._reset_slot = self._build_live_step()
         m = self.rx.channelizer.channels
         self.chunk_samples = self._default_chunk(m)
+        if self.bank_mode:
+            k = 2 * self.chunk_samples // m
+            demod = self.rx.decoder.demod
+            sps_min = demod.samples_per_symbol * (1.0 - demod.max_deviation)
+            self._bank_cap = int(np.ceil((k / sps_min + 8) / 64)) * 64
+        self.step, self.state, self._reset_slot = self._build_live_step()
         self.bins = np.zeros((slots, 2), np.int32)
         self.steps = np.zeros(slots, np.float32)
         self._plan_dev = None
@@ -362,6 +458,9 @@ class Orchestrator:
         slot.frequency_hz = frequency_hz
         slot.active = True
         slot.activated_at = self.now
+        if self.bank_mode:
+            self._bank_reset_slot(slot.index, preload=identifiers)
+            return
         # P25P2 traffic channels need the scramble key the control
         # channel learned (preload data, ChannelProcessingManager:403-468)
         extra = {}
@@ -380,8 +479,7 @@ class Orchestrator:
         for slot in self.slots:
             if slot.active and not slot.is_control \
                     and slot.frequency_hz == frequency_hz:
-                slot.processor.flush(self.now)
-                self.audio_segments.extend(slot.processor.drain_audio())
+                self._slot_flush_drain(slot)
                 slot.active = False
 
     # --- data plane ----------------------------------------------------
@@ -393,6 +491,8 @@ class Orchestrator:
         iq = np.asarray(iq)
         if np.iscomplexobj(iq):     # complex never crosses the boundary
             iq = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+        # int8 (n, 2) IQ passes through raw — the device converts; at
+        # 12.8 MHz the ~50 MB/s tunnel cannot carry float pairs
         # the slot plan lives on device and is re-uploaded only when a
         # tune changed it: on the tunneled backend every host->device
         # transfer costs ~5 ms of fixed latency, which at the default
@@ -400,8 +500,9 @@ class Orchestrator:
         if self._plan_dev is None:
             self._plan_dev = (jnp.asarray(self.bins),
                               jnp.asarray(self.steps))
+        dtype = jnp.int8 if iq.dtype == np.int8 else jnp.float32
         out, self.state = self.step(
-            jnp.asarray(iq, jnp.float32), self.state, *self._plan_dev)
+            jnp.asarray(iq, dtype), self.state, *self._plan_dev)
         self.samples_processed += len(iq)
         return out, self.samples_processed / self.sample_rate
 
@@ -412,12 +513,12 @@ class Orchestrator:
 
     def _process(self, out: dict, now: float) -> dict:
         self.now = now
-        digital = "sym" in out
-        if digital:                 # one packed transfer: valid<<2 | dibit
+        digital = "sym" in out or "dib4" in out
+        if "dib4" not in out and digital:  # packed: valid<<2 | dibit
             packed = np.asarray(out["sym"])
             dib = packed & 3
             val = (packed >> 2) > 0
-        else:                                  # analog: gated 8 kHz audio
+        elif not digital:                      # analog: gated 8 kHz audio
             audio = np.asarray(out["audio"])
             gate = np.asarray(out["audio_gate"]) > 0
 
@@ -432,25 +533,44 @@ class Orchestrator:
             self.ppm_monitor.update(pll_err_hz, self.now)
 
         frames = 0
-        for slot in self.slots:
-            if not slot.active:
-                continue
-            if digital:
-                n = slot.processor.process(
-                    dib[slot.index][val[slot.index]], self.now)
-            else:
-                n = slot.processor.process_audio(
-                    audio[slot.index], gate[slot.index], self.now)
-            frames += n
-            if n and not slot.is_control:
-                # frames on a traffic channel = activity for teardown aging
-                self.traffic.process_activity(slot.frequency_hz, self.now)
-            self.audio_segments.extend(slot.processor.drain_audio())
+        if self.bank_mode:
+            active = np.array([s.active for s in self.slots])
+            per_slot = self.bank_proc.process_bank(
+                np.asarray(out["dib4"]), np.asarray(out["counts"]),
+                np.asarray(out["hits"]), active, self.now)
+            frames = int(per_slot.sum())
+            for slot in self.slots:
+                if not slot.active:
+                    continue
+                if per_slot[slot.index] and not slot.is_control:
+                    self.traffic.process_activity(slot.frequency_hz,
+                                                  self.now)
+                self.audio_segments.extend(
+                    self.bank_proc.drain_audio(slot.index))
+        else:
+            for slot in self.slots:
+                if not slot.active:
+                    continue
+                if digital:
+                    n = slot.processor.process(
+                        dib[slot.index][val[slot.index]], self.now)
+                else:
+                    n = slot.processor.process_audio(
+                        audio[slot.index], gate[slot.index], self.now)
+                frames += n
+                if n and not slot.is_control:
+                    # frames on a traffic channel = teardown-aging activity
+                    self.traffic.process_activity(slot.frequency_hz,
+                                                  self.now)
+                self.audio_segments.extend(slot.processor.drain_audio())
         self.traffic.check_teardown(self.now)
 
         if self.rotation is not None:
             ctrl = next(s for s in self.slots if s.is_control)
-            if hasattr(ctrl.processor, "channel_state"):
+            if self.bank_mode:
+                self.rotation.state(
+                    self.bank_proc.channel_state(ctrl.index), self.now)
+            elif hasattr(ctrl.processor, "channel_state"):
                 self.rotation.state(ctrl.processor.channel_state(),
                                     self.now)
             self.rotation.check(self.now)
@@ -509,6 +629,13 @@ class Orchestrator:
         return self.traffic.events
 
     def channel_status(self) -> list[dict]:
+        if self.bank_mode:
+            return [{
+                "slot": s.index, "active": s.active,
+                "control": s.is_control, "frequency_hz": s.frequency_hz,
+                "frames": int(self.bank_proc.frame_counts[s.index]),
+                "metrics": self.bank_proc.metrics[s.index].as_dict(),
+            } for s in self.slots]
         return [{
             "slot": s.index, "active": s.active, "control": s.is_control,
             "frequency_hz": s.frequency_hz,

@@ -1,0 +1,98 @@
+"""Bank-mode orchestrator: the 1000-channel scaling tier must deliver
+the SAME product behavior as the per-slot path — traffic following,
+message decode, audio segments, teardown — on the identical capture
+test_orchestrator.py drives through the per-slot path."""
+import json
+
+import numpy as np
+import pytest
+
+from sdrtrunk_tpu.protocol.p25p1.duid import DUID
+from sdrtrunk_tpu.runtime.identifiers import IdentifierRole
+from sdrtrunk_tpu.runtime.orchestrator import Orchestrator
+from sdrtrunk_tpu.signal import generators
+
+import test_orchestrator as to
+
+
+@pytest.fixture(scope="module")
+def bank_run():
+    duration_s = 2.6
+    total_dibits = int(duration_s * to.BAUD)
+    rng = np.random.default_rng(7)
+    voice = [rng.integers(0, 2, (9, 144)).astype(np.uint8)
+             for _ in range(2)]
+
+    n = None
+    wide = None
+    for offset, dibits in (
+            (to.CONTROL_OFF, to._control_stream(total_dibits)),
+            (to.TRAFFIC_OFF, to._traffic_stream(total_dibits, voice))):
+        iq = generators.c4fm_modulate(dibits, to.FS)
+        if wide is None:
+            n = len(iq) // 64 * 64
+            wide = np.zeros(n, np.complex64)
+        t = np.arange(n) / to.FS
+        wide += (iq[:n] * np.exp(2j * np.pi * offset * t)
+                 ).astype(np.complex64)
+
+    # feed as int8 IQ pairs — the live wire format of bank mode
+    scale = float(np.max(np.abs(np.stack([wide.real, wide.imag]))))
+    iq8 = np.clip(np.stack([wide.real, wide.imag], -1) / scale * 120.0,
+                  -127, 127).astype(np.int8)
+
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        chunk = iq8[pos:pos + num]
+        pos += num
+        return chunk if len(chunk) else None
+
+    metrics_lines = []
+    orch = Orchestrator(
+        source, to.FS, to.CENTER_HZ, [to.CONTROL_OFF], slots=4,
+        chunk_samples=64 * 256, idle_teardown_seconds=0.6,
+        metrics_sink=metrics_lines.append, bank_mode=True)
+    orch.run()
+    return orch, voice, metrics_lines
+
+
+def test_bank_grant_activates_traffic_channel(bank_run):
+    orch, _, _ = bank_run
+    freq = to.CENTER_HZ + to.TRAFFIC_OFF
+    assert orch.bank_mode and orch.bank_proc is not None
+    assert not orch.skipped_grants
+    assert [e for e in orch.events
+            if e.frequency_hz == pytest.approx(freq)]
+    status = orch.channel_status()
+    traffic = [s for s in status
+               if not s["control"] and s["frequency_hz"] == freq]
+    assert traffic and traffic[0]["frames"] >= 4
+
+
+def test_bank_voice_becomes_audio_segment(bank_run):
+    orch, _, _ = bank_run
+    segs = [s for s in orch.audio_segments if s.duration > 0]
+    assert len(segs) == 1
+    assert segs[0].duration == pytest.approx(18 * 0.020)
+    tgs = [i.value for i in segs[0].identifiers.all()
+           if i.role == IdentifierRole.TO]
+    assert to.GROUP in tgs
+
+
+def test_bank_idle_teardown_frees_slot(bank_run):
+    orch, _, _ = bank_run
+    freq = to.CENTER_HZ + to.TRAFFIC_OFF
+    assert freq not in orch.traffic.active
+    slot = next(s for s in orch.slots
+                if not s.is_control and s.frequency_hz == freq)
+    assert not slot.active
+
+
+def test_bank_metrics_stream(bank_run):
+    _, _, lines = bank_run
+    assert len(lines) > 50
+    peak = max(json.loads(l)["active_channels"] for l in lines)
+    assert peak == 2
+    assert json.loads(lines[-1])["active_channels"] == 1
