@@ -236,6 +236,181 @@ def bench_orchestrator(slots: int = 8, iters: int = 20) -> dict:
     }
 
 
+def bench_orchestrator_bank(slots: int = 1023, timed_chunks: int = 4,
+                            chunk_blocks: int = 5120) -> dict:
+    """The 1000-channel LIVE target end-to-end (BASELINE.json north
+    star): 12.8 MHz wideband, every usable bin carrying a real P25P1
+    voice superframe stream, int8 IQ ingested over the tunnel, the
+    orchestrator's bank-mode device step (channelize -> 1023-wide DQPSK
+    -> on-device compaction + sync correlation -> bit-packed transfer)
+    and the full host layer (bank framer, message decode, decoder
+    states, MBE audio segments) running for every chunk. realtime_factor
+    >= 1.0 here means the product loop — not a bench kernel — sustains
+    >=1000 channels (the live analog of
+    ChannelProcessingManager.java:290 at scale)."""
+    from sdrtrunk_tpu.dsp.synthesizer import synthesize_bank
+    from sdrtrunk_tpu.protocol.p25p1.duid import DUID
+    from sdrtrunk_tpu.protocol.p25p1.framer import P25P1FrameAssembler
+    from sdrtrunk_tpu.protocol.p25p1.lc import lc_build_group_voice
+    from sdrtrunk_tpu.protocol.p25p1.ldu import ldu1_encode, ldu2_encode
+    from sdrtrunk_tpu.runtime.identifiers import IdentifierCollection
+    from sdrtrunk_tpu.runtime.orchestrator import Orchestrator
+
+    m = 1024
+    fs = m * 12500.0
+    chunk = m * chunk_blocks            # 5120 -> 5.24 MS = 0.41 s/chunk
+    k = 2 * chunk // m                  # per-channel samples per chunk
+    # 3 warmup chunks: compile + the mass-acquisition transient (1023
+    # fresh PLLs settling at once puts ~800 error-bearing first frames
+    # in the first ~0.8 s; steady state is ~130/chunk)
+    warmup = 3
+    total_chunks = warmup + timed_chunks
+
+    # one voice superframe stream, slot offsets de-correlate sync lags
+    rng = np.random.default_rng(0)
+    asm = P25P1FrameAssembler()
+    lc = lc_build_group_voice(0x457, 0xABCDE)
+    p1 = ldu1_encode(lc, rng.integers(0, 2, (9, 144)).astype(np.uint8))
+    p2 = ldu2_encode(rng.integers(0, 2, 72).astype(np.uint8), 0x80, 1,
+                     rng.integers(0, 2, (9, 144)).astype(np.uint8))
+    sf = np.concatenate([asm.assemble(DUID.LDU1, p1),
+                         asm.assemble(DUID.LDU2, p2)])
+    from sdrtrunk_tpu.dsp.channelizer import Channelizer
+    ch = Channelizer.design(fs, 12500.0)
+    offsets = [(i - m // 2 + 1) * 12500.0 for i in range(m - 1)][:slots]
+    bins = np.array([ch.channel_for_frequency(o) for o in offsets])
+    starts = rng.integers(0, len(sf) * 5, slots)
+
+    # modulate once; per-slot start offsets de-correlate sync lags. No
+    # wrap-around (a mid-frame wrap fabricates one corrupted frame per
+    # slot, each costing a doomed hard RS decode)
+    need = int(starts.max()) + (total_chunks + 1) * k + len(sf)
+    dibits = np.tile(sf, need // (len(sf) * 5) + 2)
+    from sdrtrunk_tpu.signal.generators import c4fm_modulate
+    base = c4fm_modulate(dibits, sample_rate=25000.0).astype(np.complex64)
+    assert len(base) >= need
+
+    # synthesize int8 wideband chunks through the PR synthesis bank
+    iq8_chunks = []
+    for j in range(total_chunks):
+        u = np.zeros((k, m), np.complex64)
+        idx = starts[:, None] + j * k + np.arange(k)[None, :]
+        u[:, bins] = base[idx].T * 0.5
+        x = synthesize_bank(u, np.asarray(ch.hmat))[:chunk]
+        scale = 118.0 / max(np.abs(x.real).max(), np.abs(x.imag).max())
+        iq8_chunks.append(np.clip(np.stack(
+            [x.real, x.imag], -1) * scale, -127, 127).astype(np.int8))
+
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        j = pos // chunk
+        pos += num
+        return iq8_chunks[j] if j < len(iq8_chunks) else None
+
+    orch = Orchestrator(source, fs, 460e6, [offsets[0]], slots=slots,
+                        decoder="c4fm", chunk_samples=chunk,
+                        idle_teardown_seconds=1e9, ppm_correction=False)
+    for off in offsets[1:]:
+        orch._activate(460e6 + off, IdentifierCollection())
+    assert sum(s.active for s in orch.slots) == slots
+
+    orch.run(max_chunks=warmup)                # compile + acquisition
+    t0 = time.perf_counter()
+    metrics = orch.run(max_chunks=timed_chunks)
+    elapsed = time.perf_counter() - t0
+    msps = chunk * timed_chunks / elapsed / 1e6
+    status = orch.channel_status()
+    frames = sum(s["frames"] for s in status)
+    return {
+        "msps": round(msps, 3),
+        "realtime_factor": round(msps * 1e6 / fs, 3),
+        "slots": slots,
+        "active_channels": metrics.get("active_channels"),
+        "wideband_rate_msps": fs / 1e6,
+        "chunk_samples": chunk,
+        "chunks": timed_chunks,
+        "frames_decoded": int(frames),
+        "audio_segments": len(orch.audio_segments),
+        "ingest_format": "int8 IQ pairs (25.6 MB/s at 12.8 MHz)",
+    }
+
+
+def bench_orchestrator_bank_nbfm(slots: int = 1023, timed_chunks: int = 6
+                                 ) -> dict:
+    """The analog leg of the 1000-channel live target: 12.8 MHz int8 IQ,
+    every usable bin carrying NBFM voice, the orchestrator's analog bank
+    step (channelize -> 1023-wide FM demod/squelch/resample -> int16 PCM
+    + packed gate transfer) and per-slot AudioSegment assembly on host."""
+    from sdrtrunk_tpu.dsp.channelizer import Channelizer
+    from sdrtrunk_tpu.dsp.synthesizer import synthesize_bank
+    from sdrtrunk_tpu.runtime.identifiers import IdentifierCollection
+    from sdrtrunk_tpu.runtime.orchestrator import Orchestrator
+    from sdrtrunk_tpu.signal.generators import nbfm_modulate
+
+    m = 1024
+    fs = m * 12500.0
+    chunk = m * 6400                    # K = 12800 per channel (mult 25)
+    k = 2 * chunk // m
+    warmup = 2
+    total_chunks = warmup + timed_chunks
+
+    rng = np.random.default_rng(0)
+    need_audio = int((total_chunks * k + m) / 25000.0 * 8000.0) + 8000
+    audio = 0.7 * np.sin(2 * np.pi * 700.0 *
+                         np.arange(need_audio) / 8000.0)
+    base = nbfm_modulate(audio, 8000.0, 25000.0).astype(np.complex64)
+
+    ch = Channelizer.design(fs, 12500.0)
+    offsets = [(i - m // 2 + 1) * 12500.0 for i in range(m - 1)][:slots]
+    bins = np.array([ch.channel_for_frequency(o) for o in offsets])
+    starts = rng.integers(0, 25000, slots)
+
+    iq8_chunks = []
+    for j in range(total_chunks):
+        u = np.zeros((k, m), np.complex64)
+        idx = starts[:, None] + j * k + np.arange(k)[None, :]
+        u[:, bins] = base[idx].T * 0.5
+        x = synthesize_bank(u, np.asarray(ch.hmat))[:chunk]
+        scale = 118.0 / max(np.abs(x.real).max(), np.abs(x.imag).max())
+        iq8_chunks.append(np.clip(np.stack(
+            [x.real, x.imag], -1) * scale, -127, 127).astype(np.int8))
+
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        j = pos // chunk
+        pos += num
+        return iq8_chunks[j] if j < len(iq8_chunks) else None
+
+    orch = Orchestrator(source, fs, 460e6, [offsets[0]], slots=slots,
+                        decoder="nbfm", chunk_samples=chunk,
+                        idle_teardown_seconds=1e9, ppm_correction=False,
+                        bank_mode=True)
+    for off in offsets[1:]:
+        orch._activate(460e6 + off, IdentifierCollection())
+    orch.run(max_chunks=warmup)
+    t0 = time.perf_counter()
+    orch.run(max_chunks=timed_chunks)
+    elapsed = time.perf_counter() - t0
+    msps = chunk * timed_chunks / elapsed / 1e6
+    open_audio = sum(1 for mdl in orch.bank_proc.modules
+                     if mdl.segment is not None and mdl.segment.duration
+                     > 1.0)
+    return {
+        "msps": round(msps, 3),
+        "realtime_factor": round(msps * 1e6 / fs, 3),
+        "slots": slots,
+        "wideband_rate_msps": fs / 1e6,
+        "chunk_samples": chunk,
+        "chunks": timed_chunks,
+        "channels_with_audio": int(open_audio),
+        "ingest_format": "int8 IQ pairs (25.6 MB/s at 12.8 MHz)",
+    }
+
+
 # ------------------------------------------------------------- scaling
 
 def scaling_worker() -> None:
@@ -489,6 +664,18 @@ def main():
         orchestrator = bench_orchestrator()
     except Exception as e:                      # noqa: BLE001 — bench aux
         orchestrator = {"error": str(e)[:200]}
+    if small:
+        orchestrator_bank = orchestrator_bank_nbfm = {"skipped": "small"}
+    else:
+        try:
+            orchestrator_bank = bench_orchestrator_bank(timed_chunks=6)
+        except Exception as e:                  # noqa: BLE001 — bench aux
+            orchestrator_bank = {"error": str(e)[:200]}
+        try:
+            orchestrator_bank_nbfm = bench_orchestrator_bank_nbfm(
+                timed_chunks=6)
+        except Exception as e:                  # noqa: BLE001 — bench aux
+            orchestrator_bank_nbfm = {"error": str(e)[:200]}
     scaling = measure_scaling()
 
     result = {
@@ -504,6 +691,8 @@ def main():
             "roofline": roofline_nbfm(rx, nbfm["msps"]),
             "mfu": roofline_nbfm(rx, nbfm["msps"])["mfu"],
             "orchestrator": orchestrator,
+            "orchestrator_bank_c4fm_1023": orchestrator_bank,
+            "orchestrator_bank_nbfm_1023": orchestrator_bank_nbfm,
             "dispatch_overhead": dispatch,
             "scaling": scaling,
         },

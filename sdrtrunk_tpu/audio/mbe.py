@@ -53,6 +53,14 @@ class MBECodec:
         """One MBE frame (coded bits) -> 160 float32 PCM samples."""
         raise NotImplementedError
 
+    def decode_batch(self, frames: np.ndarray,
+                     frame_type: MBEFrameType) -> np.ndarray:
+        """(N, frame_bits) -> (N*160,) PCM. Default: per-frame loop;
+        codecs override with a vectorized form (the live loop decodes
+        ~20k frames/s at 1000-channel scale)."""
+        return np.concatenate([self.decode(f, frame_type)
+                               for f in np.atleast_2d(frames)])
+
 
 class FakeMBECodec(MBECodec):
     """Deterministic test codec: each frame becomes 20 ms of a tone whose
@@ -64,11 +72,18 @@ class FakeMBECodec(MBECodec):
 
     def decode(self, frame_bits: np.ndarray,
                frame_type: MBEFrameType) -> np.ndarray:
-        bits = np.asarray(frame_bits, np.uint8)
-        h = int(bits[:16].dot(1 << np.arange(len(bits[:16]))[::-1]))
-        freq = 300.0 + (h % 64) * 40.0           # 300..2820 Hz
+        return self.decode_batch(np.atleast_2d(frame_bits), frame_type)
+
+    def decode_batch(self, frames: np.ndarray,
+                     frame_type: MBEFrameType) -> np.ndarray:
+        bits = np.atleast_2d(np.asarray(frames, np.uint8))   # (N, B)
+        n = bits.shape[0]
+        w = (1 << np.arange(16)[::-1]).astype(np.int64)
+        h = bits[:, :16] @ w                                 # (N,)
+        freq = 300.0 + (h % 64) * 40.0                       # 300..2820 Hz
         t = np.arange(FRAME_SAMPLES) / AUDIO_RATE
-        return (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        pcm = 0.5 * np.sin(2 * np.pi * freq[:, None] * t[None, :])
+        return pcm.astype(np.float32).reshape(n * FRAME_SAMPLES)
 
 
 def load_codec(name: str = "jmbe") -> MBECodec | None:
@@ -167,13 +182,13 @@ class MBEAudioModule:
         seg = self._ensure_segment(now)
         if identifiers is not None:
             seg.add_identifiers(identifiers)
-        for i, frame in enumerate(np.atleast_2d(np.asarray(frames,
-                                                           np.uint8))):
-            if self.frame_recorder is not None:
+        frames = np.atleast_2d(np.asarray(frames, np.uint8))
+        if self.frame_recorder is not None:
+            for i, frame in enumerate(frames):
                 self.frame_recorder.frame(frame, self.frame_type,
                                           now * 1000.0 + 20.0 * i)
-            if self.codec is not None and self.codec.available():
-                seg.add_audio(self.codec.decode(frame, self.frame_type))
+        if self.codec is not None and self.codec.available():
+            seg.add_audio(self.codec.decode_batch(frames, self.frame_type))
 
     def end_call(self, now: float) -> AudioSegment | None:
         if self.segment is None:

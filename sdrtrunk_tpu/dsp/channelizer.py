@@ -43,6 +43,24 @@ __all__ = ["Channelizer", "channelize", "channel_count_for_rate",
 _IFFT_IMPL = "auto"
 
 
+_IFFT_PRECISION = "default"
+
+
+def set_ifft_precision(prec: str) -> str:
+    """Matmul precision of the TPU IFFT ("default" = bf16 inputs,
+    "highest" = f32). bf16 is ~2e-3 abs err through the bank — inside
+    analog decode margins, but at 1000-channel amplitudes it produces a
+    low residual symbol-error floor on digital channels whose host-side
+    error correction costs more than the ~15% device-side f32 premium
+    (the live orchestrator is host-bound). Returns the previous value;
+    same jit-cache caveat as set_ifft_impl."""
+    global _IFFT_PRECISION
+    if prec not in ("default", "highest"):
+        raise ValueError(prec)
+    prev, _IFFT_PRECISION = _IFFT_PRECISION, prec
+    return "default" if prev == "default" else "highest"
+
+
 def set_ifft_impl(impl: str) -> str:
     """Set the channelizer IFFT path ("auto"/"matmul"/"fft"); returns the
     previous value. NOTE: _channelize_core is jit-cached per (shape,
@@ -125,9 +143,8 @@ def _matmul_ifft(u: jnp.ndarray, m: int) -> jnp.ndarray:
     tables = _ct_tables(m)
     m1, m2, w1r, w1i, w2r, w2i, twr, twi = tables
     k = u.shape[0]
-    prec = jax.lax.Precision.DEFAULT    # bf16: ~2e-3 abs err through
-                                        # the bank — inside decode
-                                        # margins; HIGH costs ~15%
+    prec = (jax.lax.Precision.DEFAULT if _IFFT_PRECISION == "default"
+            else jax.lax.Precision.HIGHEST)   # see set_ifft_precision
     ur = u.real.reshape(k, m1, m2)
     ui = u.imag.reshape(k, m1, m2)
     # stage 1: IFFT over n1 for each n2

@@ -364,6 +364,10 @@ class GardnerDQPSKDemodulator:
     loop_bandwidth: float = 300.0
     max_deviation: float = 0.02
     unroll: int | None = None
+    impl: str = "auto"            # like DQPSKDemodulator.impl: "auto"
+                                  # takes the Pallas kernel on TPU
+                                  # (dsp/pallas_gardner.py), the XLA
+                                  # scan elsewhere
 
     def __post_init__(self):
         self.samples_per_symbol = self.sample_rate / self.symbol_rate
@@ -476,6 +480,27 @@ class GardnerDQPSKDemodulator:
     def batched(self, x: jnp.ndarray, state: GardnerState
                 ) -> tuple[jnp.ndarray, jnp.ndarray, GardnerState]:
         """Demodulate a (C, T) block; see DQPSKDemodulator.batched."""
+        if self.impl != "xla":
+            try:
+                backend = jax.default_backend()
+            except Exception:
+                backend = "cpu"
+            if self.impl == "pallas" or backend == "tpu":
+                from .pallas_gardner import gardner_pallas_batched
+                try:
+                    out = gardner_pallas_batched(
+                        self, x, state, interpret=(backend != "tpu"))
+                except Exception:
+                    if self.impl == "pallas":
+                        raise
+                    out = None
+                if out is not None:
+                    return out
+        return self._scan_batched(x, state)
+
+    def _scan_batched(self, x: jnp.ndarray, state: GardnerState
+                      ) -> tuple[jnp.ndarray, jnp.ndarray, GardnerState]:
+        """XLA lax.scan implementation of batched() (CPU / fallback)."""
         state = state._replace(window=state.window.T)
         state, (dibits, valid) = jax.lax.scan(
             self._step, state, x.T, unroll=scan_unroll(self.unroll))
@@ -484,10 +509,13 @@ class GardnerDQPSKDemodulator:
 
     def __call__(self, x: jnp.ndarray, state: GardnerState | None = None
                  ) -> tuple[jnp.ndarray, jnp.ndarray, GardnerState]:
-        """Demodulate a 1-D block; see DQPSKDemodulator.__call__."""
+        """Demodulate a 1-D block; see DQPSKDemodulator.__call__.
+
+        Always the XLA scan: the per-channel path is routinely wrapped
+        in an outer jax.vmap and pallas_call has no batching rule."""
         if state is None:
             state = self.init_state()
         bstate = jax.tree.map(lambda a: a[None], state)
-        dibits, valid, bstate = self.batched(x[None, :], bstate)
+        dibits, valid, bstate = self._scan_batched(x[None, :], bstate)
         state = jax.tree.map(lambda a: a[0], bstate)
         return dibits[0], valid[0], state

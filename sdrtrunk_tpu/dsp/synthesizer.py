@@ -77,3 +77,47 @@ class TwoChannelSynthesizer:
 
     def __call__(self, c_lo, c_hi, state=None):
         return synthesize_two(c_lo, c_hi, state)
+
+
+def synthesize_bank(u: np.ndarray, hmat: np.ndarray) -> np.ndarray:
+    """Full M-channel polyphase SYNTHESIS bank: multiplex per-bin streams
+    into one wideband signal — the exact dual of dsp/channelizer.py's
+    analysis bank.
+
+    The reference only ships the two-channel special case
+    (TwoChannelSynthesizerM2.java:45) plus the prototype designer
+    (FilterFactory.getSincM2Synthesizer:755); the full M-bin dual exists
+    here as the signal-generation/test tier: analysis(synthesize_bank(u))
+    returns u delayed by (T-1) blocks with ~unit gain (the PR property of
+    the -6.02 dB prototype), so >=1000-channel live captures can be
+    synthesized exactly for the bench and closed-loop tests.
+
+    u: (K, M) complex — per-bin content at the channel hop rate (one
+       (M,) vector per M/2-sample output hop; bin m centered at +m*fs/M,
+       the analysis bank's convention).
+    hmat: (T, M) float prototype branches (Channelizer.hmat).
+    Returns x: (K*M/2 + (2*T-1)*M/2,) complex64 (overlap-add tail kept).
+
+    Host-side NumPy: generation is not a hot path.
+    """
+    u = np.asarray(u)
+    t_taps, m = hmat.shape
+    k = u.shape[0]
+    half = m // 2
+    # v[k, r] = sum_m u[k,m] e^{+2 pi i m r / M}  (M-periodic in r);
+    # the extra M/2 normalizes the analysis-of-synthesis round trip to
+    # unit gain (measured 2/M without it, constant across M)
+    v = np.fft.ifft(u, axis=1) * m * (m / 2.0)             # (K, M)
+    # block k contributes g[j] * v[k, (k*M/2 + j) mod M] at output
+    # t = k*M/2 + j; (k*M/2 + j) mod M toggles a half-bin roll by parity
+    g = hmat.reshape(-1)                                   # (T*M,)
+    v_even = np.tile(v, (1, t_taps))                       # (K, T*M)
+    v_odd = np.tile(np.roll(v, -half, axis=1), (1, t_taps))
+    par = (np.arange(k) & 1)[:, None]
+    win = np.where(par == 1, v_odd, v_even) * g[None, :]   # (K, T*M)
+    # overlap-add with hop M/2
+    w3 = win.reshape(k, 2 * t_taps, half)
+    acc = np.zeros((k + 2 * t_taps, half), np.complex128)
+    for b in range(2 * t_taps):
+        acc[b:b + k] += w3[:, b, :]
+    return acc.reshape(-1).astype(np.complex64)

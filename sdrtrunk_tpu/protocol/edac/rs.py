@@ -98,6 +98,9 @@ class ReedSolomon:
             return r, 0
 
         # Berlekamp-Massey for error locator sigma(x), ascending coeffs
+        # (discrepancy computed as one vectorized GF mul + XOR-reduce per
+        # iteration — the scalar inner loop was a measured hot spot on
+        # error-bearing frames at 1000-channel scale)
         sigma = np.zeros(self.nroots + 1, dtype=np.int64)
         prev = np.zeros(self.nroots + 1, dtype=np.int64)
         sigma[0] = 1
@@ -106,10 +109,10 @@ class ReedSolomon:
         mshift = 1
         b = 1
         for i in range(self.nroots):
-            # discrepancy
             d = int(synd[i])
-            for j in range(1, L + 1):
-                d ^= int(gf.mul(int(sigma[j]), int(synd[i - j])))
+            if L:
+                terms = gf.mul(sigma[1:L + 1], synd[i - L:i][::-1])
+                d ^= int(np.bitwise_xor.reduce(terms))
             if d == 0:
                 mshift += 1
             elif 2 * L <= i:
@@ -142,23 +145,23 @@ class ReedSolomon:
             return r, None
 
         # Forney: error values. Omega(x) = [S(x) * sigma(x)] mod x^nroots
-        spoly = np.zeros(self.nroots, dtype=np.int64)
-        spoly[:] = synd
+        # — each coefficient one vectorized GF mul + XOR-reduce
         omega = np.zeros(self.nroots, dtype=np.int64)
         for i in range(self.nroots):
-            acc = 0
-            for j in range(0, min(i, L) + 1):
-                acc ^= int(gf.mul(int(sigma[j]), int(spoly[i - j])))
-            omega[i] = acc
+            lo = min(i, L) + 1
+            terms = gf.mul(sigma[:lo], synd[i - lo + 1:i + 1][::-1])
+            omega[i] = int(np.bitwise_xor.reduce(terms))
 
+        jj_odd = np.arange(1, L + 1, 2)
         for p in positions:
             j = self.n - 1 - p            # power of x for this position
             xinv = int(gf.pow_alpha(-j))  # X_l^{-1}
             num = int(gf.poly_eval(omega, xinv))
             # sigma'(x): formal derivative = odd-power coeffs
-            den = 0
-            for jj in range(1, L + 1, 2):
-                den ^= int(gf.mul(int(sigma[jj]), int(gf.pow_alpha(-j * (jj - 1)))))
+            den_terms = gf.mul(sigma[jj_odd],
+                               gf.pow_alpha(-j * (jj_odd - 1)))
+            den = int(np.bitwise_xor.reduce(den_terms)) if len(jj_odd) \
+                else 0
             if den == 0:
                 return r, None
             mag = int(gf.mul(num, self.gf.inv(den)))

@@ -26,7 +26,8 @@ from .metrics import ChannelMetrics
 from .p25_state import P25P1DecoderState
 from .traffic import TrafficChannelManager
 
-__all__ = ["unpack_dibits", "unpack_hits", "P25P1BankProcessor"]
+__all__ = ["unpack_dibits", "unpack_hits", "P25P1BankProcessor",
+           "AnalogBankProcessor"]
 
 
 def unpack_dibits(packed: np.ndarray) -> np.ndarray:
@@ -55,7 +56,10 @@ class P25P1BankProcessor:
 
     def __init__(self, channels: int, control_slots: set[int],
                  traffic: TrafficChannelManager | None = None,
-                 codec: MBECodec | None = None, retain: int = 2048):
+                 codec: MBECodec | None = None, retain: int = 1024):
+        # retain 1024 covers every fixed-span frame (LDU spans 890
+        # transmitted dibits) at half the per-chunk tail-gather cost;
+        # raise it for captures carrying long multi-block PDUs
         self.c = channels
         self.control_slots = set(control_slots)
         self.traffic = traffic
@@ -82,15 +86,21 @@ class P25P1BankProcessor:
         self.audio[slot] = audio
         self.frame_counts[slot] = 0
 
-    def process_bank(self, dib4: np.ndarray, counts: np.ndarray,
-                     hits: np.ndarray, active: np.ndarray, now: float
-                     ) -> np.ndarray:
-        """One chunk for the whole bank. active: (C,) bool — messages on
-        inactive slots are discarded (their device stream still flows).
-        Returns per-slot frame counts for this chunk."""
+    def frame_chunk(self, dib4: np.ndarray, counts: np.ndarray,
+                    hits: np.ndarray) -> list:
+        """Unpack + bank-frame one chunk -> [(slot, P25P1Message)].
+
+        Stateful but single-threaded: the orchestrator's download worker
+        calls this in chunk order, overlapping the main thread's route()
+        of the previous chunk (the two touch disjoint state)."""
         dib = unpack_dibits(np.asarray(dib4))
         hitmask = unpack_hits(np.asarray(hits))[:, : dib.shape[1]]
-        msgs = self.framer.process(dib, counts, device_hits=hitmask)
+        return self.framer.process(dib, counts, device_hits=hitmask)
+
+    def route(self, msgs: list, counts: np.ndarray, active: np.ndarray,
+              now: float) -> np.ndarray:
+        """Feed framed messages into per-slot decoder states; returns
+        per-slot frame counts for this chunk."""
         frames = np.zeros(self.c, np.int64)
         for slot, msg in msgs:
             if not active[slot] or self.states[slot] is None:
@@ -102,6 +112,15 @@ class P25P1BankProcessor:
             self.metrics[s].update(int(counts[s]), range(int(frames[s])))
         self.frame_counts += frames
         return frames
+
+    def process_bank(self, dib4: np.ndarray, counts: np.ndarray,
+                     hits: np.ndarray, active: np.ndarray, now: float
+                     ) -> np.ndarray:
+        """One chunk for the whole bank (frame + route in one call).
+        active: (C,) bool — messages on inactive slots are discarded
+        (their device stream still flows)."""
+        return self.route(self.frame_chunk(dib4, counts, hits),
+                          counts, active, now)
 
     def drain_audio(self, slot: int) -> list:
         module = self.audio[slot]
@@ -119,3 +138,56 @@ class P25P1BankProcessor:
     def channel_state(self, slot: int):
         state = self.states[slot]
         return state.state_machine.state if state is not None else None
+
+
+class AnalogBankProcessor:
+    """All NBFM/AM slots of a live receiver: per-slot squelch-gated
+    AudioSegment assembly fed from the device's int16 PCM + packed gate
+    transfer (the analog leg of the 1000-channel target; audio itself
+    is already produced on device, so the host work is only segment
+    bookkeeping)."""
+
+    protocol = "NBFM"
+
+    def __init__(self, channels: int, sample_rate: float = 8000.0):
+        from .processors import AnalogAudioModule
+        self.c = channels
+        self.sample_rate = sample_rate
+        self._module_cls = AnalogAudioModule
+        self.modules = [AnalogAudioModule(sample_rate=sample_rate)
+                        for _ in range(channels)]
+        self.metrics = [ChannelMetrics() for _ in range(channels)]
+        self.frame_counts = np.zeros(channels, np.int64)
+
+    def reset_slot(self, slot: int,
+                   preload: IdentifierCollection | None = None) -> None:
+        self.modules[slot] = self._module_cls(
+            sample_rate=self.sample_rate,
+            identifiers=preload.all() if preload is not None else None)
+
+    def route_audio(self, audio: np.ndarray, gate: np.ndarray,
+                    active: np.ndarray, now: float) -> np.ndarray:
+        n = audio.shape[1]
+        for s in np.nonzero(active)[0]:
+            self.modules[s].receive(audio[s], gate[s], now)
+            self.metrics[s].update(n, ())
+        return np.zeros(self.c, np.int64)
+
+    def drain_audio(self, slot: int) -> list:
+        module = self.modules[slot]
+        done = module.completed
+        module.completed = []
+        return done
+
+    def flush(self, slot: int, now: float) -> None:
+        self.modules[slot].end_call(now)
+
+    def channel_state(self, slot: int):
+        from .state import ChannelState
+        return (ChannelState.CALL
+                if self.modules[slot].segment is not None
+                else ChannelState.IDLE)
+
+    @property
+    def states(self):           # orchestrator event-logger hook parity
+        return self.modules

@@ -119,12 +119,25 @@ class Orchestrator:
         # bank (runtime/bank_processor.py). Same product surface
         # (events, audio, traffic following) — different scaling tier.
         if bank_mode is None:
-            bank_mode = decoder in ("c4fm", "p25p1") and slots >= 32
-        if bank_mode and decoder not in ("c4fm", "p25p1"):
+            bank_mode = decoder in ("c4fm", "p25p1", "nbfm", "am") \
+                and slots >= 32
+        if bank_mode and decoder not in ("c4fm", "p25p1", "nbfm", "am"):
             raise ValueError(f"bank_mode not supported for {decoder!r}")
         self.bank_mode = bank_mode
+        self.bank_analog = bank_mode and decoder in ("nbfm", "am")
         self.bank_proc = None
-        if bank_mode:
+        self._bank_cap = None
+        self._bank_ka = None
+        if self.bank_analog:
+            k = 2 * self.chunk_samples // m
+            dec = self.rx.decoder
+            up, down = getattr(dec, "up", 8), getattr(dec, "down", 25)
+            if (k * up) % down:
+                raise ValueError(
+                    f"chunk gives non-integral audio length: per-channel "
+                    f"block {k} must be a multiple of {down}")
+            self._bank_ka = k * up // down
+        elif bank_mode:
             k = 2 * self.chunk_samples // m
             demod = self.rx.decoder.demod
             sps_min = demod.samples_per_symbol * (1.0 - demod.max_deviation)
@@ -158,7 +171,10 @@ class Orchestrator:
             on_activate=self._activate, on_teardown=self._teardown)
         if self.event_logger is not None:
             self.traffic.event_sink = self.event_logger.receive
-        if self.bank_mode:
+        if self.bank_analog:
+            from .bank_processor import AnalogBankProcessor
+            self.bank_proc = AnalogBankProcessor(slots)
+        elif self.bank_mode:
             from .bank_processor import P25P1BankProcessor
             self.bank_proc = P25P1BankProcessor(
                 slots, control_slots=set(range(len(control_offsets_hz))),
@@ -209,6 +225,7 @@ class Orchestrator:
         from ..parallel.boundary import complex_safe, pack_tree
         base = self.rx.build_dynamic()
         bank_cap = self._bank_cap if self.bank_mode else None
+        bank_analog = self.bank_analog
 
         def ingest(x):
             # 8-bit IQ pairs are the live wire format (an RTL dongle's
@@ -257,9 +274,17 @@ class Orchestrator:
             if "dibits" in out and bank_cap is not None:
                 dib4, counts, hbits = compact_and_correlate(
                     out["dibits"], out["valid"])
-                out2 = {"dib4": dib4, "counts": counts, "hits": hbits}
-                if "pll_freq" in out:
-                    out2["pll_freq"] = out["pll_freq"]
+                # ONE flat uint8 transfer: each device->host array costs
+                # ~25 ms of tunnel latency regardless of size, so four
+                # small arrays were ~100 ms/chunk of pure latency.
+                # Layout: dib4 | hits | counts (le int32) | pll (le f32)
+                counts8 = jax.lax.bitcast_convert_type(
+                    counts, jnp.uint8).reshape(-1)
+                pll8 = jax.lax.bitcast_convert_type(
+                    out.get("pll_freq", jnp.zeros((1,), jnp.float32))[:1],
+                    jnp.uint8).reshape(-1)
+                out2 = {"packed": jnp.concatenate(
+                    [dib4.reshape(-1), hbits.reshape(-1), counts8, pll8])}
             elif "dibits" in out:
                 sym = (out["dibits"].astype(jnp.int32)
                        | (out["valid"].astype(jnp.int32) << 2)
@@ -267,6 +292,23 @@ class Orchestrator:
                 out2 = {"sym": sym}
                 if "pll_freq" in out:
                     out2["pll_freq"] = out["pll_freq"]
+            elif bank_analog:
+                # analog bank: int16 PCM + packed gate bits in one flat
+                # uint8 transfer (float audio at 1023 slots would be
+                # 27 MB/chunk over the ~50 MB/s tunnel)
+                pcm = jnp.clip(out["audio"] * 32767.0, -32767.0, 32767.0
+                               ).astype(jnp.int16)
+                c_, ka = pcm.shape
+                pcm8 = jax.lax.bitcast_convert_type(
+                    pcm, jnp.uint8).reshape(-1)
+                gate = out["audio_gate"] > 0
+                pad = (-ka) % 8
+                g = jnp.pad(gate, ((0, 0), (0, pad))).reshape(
+                    c_, (ka + pad) // 8, 8).astype(jnp.int32)
+                g8 = (g * jnp.array([128, 64, 32, 16, 8, 4, 2, 1],
+                                    jnp.int32)).sum(-1).astype(jnp.uint8)
+                out2 = {"packed_audio": jnp.concatenate(
+                    [pcm8, g8.reshape(-1)])}
             else:
                 out2 = {"audio": out["audio"].astype(jnp.float32),
                         "audio_gate": out["audio_gate"].astype(jnp.int8)}
@@ -484,15 +526,29 @@ class Orchestrator:
 
     # --- data plane ----------------------------------------------------
 
-    def _enqueue(self, iq: np.ndarray):
-        """Dispatch one wideband chunk to the device (async); host-side
-        consumption happens in _process so run() can double-buffer."""
-        import jax.numpy as jnp
+    @staticmethod
+    def _prepare(iq: np.ndarray) -> np.ndarray:
+        """Host-side wire format: float32 (n, 2) pairs, or int8 (n, 2)
+        passed through raw (the device converts; at 12.8 MHz the
+        ~50 MB/s tunnel cannot carry float pairs)."""
         iq = np.asarray(iq)
         if np.iscomplexobj(iq):     # complex never crosses the boundary
             iq = np.stack([iq.real, iq.imag], -1).astype(np.float32)
-        # int8 (n, 2) IQ passes through raw — the device converts; at
-        # 12.8 MHz the ~50 MB/s tunnel cannot carry float pairs
+        return iq
+
+    @staticmethod
+    def _upload(iq: np.ndarray):
+        """Host->device transfer of a prepared chunk. Runs on the
+        pipeline's upload thread in run(): the transfer is the single
+        largest per-chunk cost at 12.8 MHz (~260 ms of tunnel time for
+        10.5 MB int8), so it must overlap the host framing work."""
+        import jax.numpy as jnp
+        dtype = jnp.int8 if iq.dtype == np.int8 else jnp.float32
+        return jnp.asarray(iq, dtype)
+
+    def _dispatch(self, dev_iq):
+        """Queue the jitted step for an already-uploaded chunk."""
+        import jax.numpy as jnp
         # the slot plan lives on device and is re-uploaded only when a
         # tune changed it: on the tunneled backend every host->device
         # transfer costs ~5 ms of fixed latency, which at the default
@@ -500,44 +556,96 @@ class Orchestrator:
         if self._plan_dev is None:
             self._plan_dev = (jnp.asarray(self.bins),
                               jnp.asarray(self.steps))
-        dtype = jnp.int8 if iq.dtype == np.int8 else jnp.float32
-        out, self.state = self.step(
-            jnp.asarray(iq, dtype), self.state, *self._plan_dev)
-        self.samples_processed += len(iq)
+        out, self.state = self.step(dev_iq, self.state, *self._plan_dev)
+        self.samples_processed += dev_iq.shape[0]
         return out, self.samples_processed / self.sample_rate
+
+    def _enqueue(self, iq: np.ndarray):
+        """Upload + dispatch one wideband chunk (synchronous upload);
+        host-side consumption happens in _process so run_chunk callers
+        can double-buffer."""
+        return self._dispatch(self._upload(self._prepare(iq)))
 
     def run_chunk(self, iq: np.ndarray) -> dict:
         """Process one wideband chunk through the slot bank + host layer."""
         out, now = self._enqueue(iq)
         return self._process(out, now)
 
+    def _split_packed(self, buf: np.ndarray):
+        """Parse the bank-mode flat uint8 transfer (see _build_live_step
+        layout: dib4 | hits | counts | pll)."""
+        c = len(self.slots)
+        cap = self._bank_cap
+        q, h = cap // 4, cap // 8
+        dib4 = buf[: c * q].reshape(c, q)
+        hits = buf[c * q: c * (q + h)].reshape(c, h)
+        counts = buf[c * (q + h): c * (q + h) + 4 * c].view(np.int32)
+        pll_raw = float(buf[-4:].view(np.float32)[0])
+        return dib4, hits, counts, pll_raw
+
+    def _split_packed_audio(self, buf: np.ndarray):
+        """Parse the analog bank transfer (int16 PCM | packed gate)."""
+        c = len(self.slots)
+        ka = self._bank_ka
+        audio = (buf[: c * ka * 2].view(np.int16).reshape(c, ka)
+                 .astype(np.float32) * (1.0 / 32767.0))
+        nb = (ka + 7) // 8
+        gate = np.unpackbits(buf[c * ka * 2:].reshape(c, nb),
+                             axis=1)[:, :ka].astype(bool)
+        return audio, gate
+
+    def _pull_bank(self, out: dict) -> dict:
+        """Download-worker half of a bank chunk: transfer + unpack +
+        bank-frame (stateful, called strictly in chunk order by the one
+        download thread); the main thread only routes messages."""
+        if self.bank_analog:
+            audio, gate = self._split_packed_audio(
+                np.asarray(out["packed_audio"]))
+            return {"bank_audio": audio, "bank_gate": gate}
+        dib4, hits, counts, pll_raw = self._split_packed(
+            np.asarray(out["packed"]))
+        msgs = self.bank_proc.frame_chunk(dib4, counts, hits)
+        return {"bank_msgs": msgs, "counts": counts, "pll_raw": pll_raw}
+
     def _process(self, out: dict, now: float) -> dict:
         self.now = now
-        digital = "sym" in out or "dib4" in out
-        if "dib4" not in out and digital:  # packed: valid<<2 | dibit
+        digital = "sym" in out or "packed" in out or "bank_msgs" in out
+        pll_raw = out.get("pll_raw")
+        if "packed" in out or "packed_audio" in out:
+            out = {**self._pull_bank(out)}     # un-pipelined bank path
+            pll_raw = out.get("pll_raw")
+        if "bank_msgs" in out:
+            bank_msgs, counts = out["bank_msgs"], out["counts"]
+        elif "bank_audio" in out:
+            audio, gate = out["bank_audio"], out["bank_gate"]
+        elif digital:                      # packed: valid<<2 | dibit
             packed = np.asarray(out["sym"])
             dib = packed & 3
             val = (packed >> 2) > 0
-        elif not digital:                      # analog: gated 8 kHz audio
+        else:                                  # analog: gated 8 kHz audio
             audio = np.asarray(out["audio"])
             gate = np.asarray(out["audio_gate"]) > 0
 
         pll_err_hz = None
-        if self.ppm_monitor is not None and "pll_freq" in out:
+        if "pll_freq" in out:
+            pll_raw = float(np.asarray(out["pll_freq"])[0])
+        if self.ppm_monitor is not None and pll_raw is not None:
             # loop freq (rad/sample at channel rate) -> Hz
             # (CostasLoop.java:212); positive loop freq means the PLL
             # mixes UP to compensate a signal BELOW expected frequency
             rate = self.rx.channelizer.channel_sample_rate
-            pll_err_hz = float(-np.asarray(out["pll_freq"])[0]
-                               * rate / (2.0 * np.pi))
+            pll_err_hz = float(-pll_raw * rate / (2.0 * np.pi))
             self.ppm_monitor.update(pll_err_hz, self.now)
 
         frames = 0
         if self.bank_mode:
             active = np.array([s.active for s in self.slots])
-            per_slot = self.bank_proc.process_bank(
-                np.asarray(out["dib4"]), np.asarray(out["counts"]),
-                np.asarray(out["hits"]), active, self.now)
+            if self.bank_analog:
+                per_slot = self.bank_proc.route_audio(audio, gate,
+                                                      active, self.now)
+            else:
+                per_slot = self.bank_proc.route(bank_msgs, counts,
+                                                active, self.now)
             frames = int(per_slot.sum())
             for slot in self.slots:
                 if not slot.active:
@@ -595,31 +703,65 @@ class Orchestrator:
         """Drain the source to exhaustion (or max_chunks). Returns the
         final metrics line.
 
-        pipelined: double-buffer — enqueue chunk n+1 on the device before
-        draining chunk n's outputs, so device compute overlaps the host's
-        transfer + framing work (SURVEY §2.8 host<->device pipeline row).
-        Control-plane writes from chunk n (grant activations, retunes)
-        then take effect from chunk n+2 — one chunk of grant latency,
-        like the reference's queued channel-start requests."""
+        pipelined: three-stage overlap — a dedicated thread uploads chunk
+        n+1 over the tunnel while the device computes chunk n and the
+        host drains/frames chunk n-1 (SURVEY §2.8 host<->device pipeline
+        row; the upload is the largest single cost at 12.8 MHz and numpy
+        releases the GIL for the framing work it overlaps). Control-plane
+        writes from chunk n (grant activations, retunes) take effect from
+        chunk n+2 — one chunk of grant latency, like the reference's
+        queued channel-start requests."""
         metrics = {}
         chunks = 0
         pending = None
-        while max_chunks is None or chunks < max_chunks:
+        if not pipelined:
+            while max_chunks is None or chunks < max_chunks:
+                if self.error_state is not None:
+                    break
+                iq = self.source(self.chunk_samples)
+                if iq is None or len(iq) < self.chunk_samples:
+                    break
+                metrics = self.run_chunk(np.asarray(iq))
+                chunks += 1
+            return metrics
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def next_prepared():
             if self.error_state is not None:
-                break
+                return None           # error stop: consume nothing more
             iq = self.source(self.chunk_samples)
             if iq is None or len(iq) < self.chunk_samples:
-                break
-            if pipelined:
-                cur = self._enqueue(np.asarray(iq))
+                return None
+            return self._prepare(iq)
+
+        def pull(out):
+            if self.bank_mode:
+                return self._pull_bank(out)
+            return {key: np.asarray(v) for key, v in out.items()}
+
+        with ThreadPoolExecutor(1) as up_pool, \
+                ThreadPoolExecutor(1) as down_pool:
+            prep = next_prepared()
+            fut = up_pool.submit(self._upload, prep) if prep is not None \
+                else None
+            while fut is not None and \
+                    (max_chunks is None or chunks < max_chunks):
+                if self.error_state is not None:
+                    break
+                dev_iq = fut.result()
+                prep = next_prepared()
+                fut = up_pool.submit(self._upload, prep) \
+                    if prep is not None else None
+                out, now = self._dispatch(dev_iq)
+                cur = (down_pool.submit(pull, out), now)
                 if pending is not None:
-                    metrics = self._process(*pending)
+                    metrics = self._process(pending[0].result(),
+                                            pending[1])
                 pending = cur
-            else:
-                metrics = self.run_chunk(np.asarray(iq))
-            chunks += 1
+                chunks += 1
         if pending is not None:
-            metrics = self._process(*pending)
+            metrics = self._process(pending[0].result(), pending[1])
         return metrics
 
     # --- introspection ---------------------------------------------------

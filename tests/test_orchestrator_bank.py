@@ -96,3 +96,53 @@ def test_bank_metrics_stream(bank_run):
     peak = max(json.loads(l)["active_channels"] for l in lines)
     assert peak == 2
     assert json.loads(lines[-1])["active_channels"] == 1
+
+
+def test_analog_bank_audio_segments():
+    """NBFM bank mode: device ships int16 PCM + packed gate; host
+    assembles per-slot AudioSegments (the analog leg of the
+    1000-channel target at CPU test scale)."""
+    fs = 32 * 12500.0
+    m = 32
+    rng = np.random.default_rng(3)
+    dur = 1.2
+    n = int(fs * dur) // (m * 25) * (m * 25)
+    t = np.arange(n) / fs
+    wide = np.zeros(n, np.complex64)
+    from sdrtrunk_tpu.signal.generators import nbfm_modulate
+    offs = [2 * 12500.0, -5 * 12500.0]
+    for k, off in enumerate(offs):
+        audio_in = 0.8 * np.sin(2 * np.pi * (500.0 + 300 * k)
+                                * np.arange(int(8000 * dur)) / 8000.0)
+        iq = nbfm_modulate(audio_in, 8000.0, fs)[:n]
+        wide[:len(iq)] += (iq * np.exp(2j * np.pi * off * t[:len(iq)])
+                           ).astype(np.complex64)
+    scale = float(np.max(np.abs(np.stack([wide.real, wide.imag])))) or 1.0
+    iq8 = np.clip(np.stack([wide.real, wide.imag], -1) / scale * 120.0,
+                  -127, 127).astype(np.int8)
+
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        c = iq8[pos:pos + num]
+        pos += num
+        return c if len(c) == num else None
+
+    orch = Orchestrator(source, fs, 460e6, [offs[0]], slots=4,
+                        decoder="nbfm", chunk_samples=m * 25 * 32,
+                        ppm_correction=False, bank_mode=True)
+    orch._activate(460e6 + offs[1], __import__(
+        "sdrtrunk_tpu.runtime.identifiers",
+        fromlist=["IdentifierCollection"]).IdentifierCollection())
+    orch.run()
+    for slot in orch.slots:
+        if slot.active:
+            orch._slot_flush_drain(slot)
+    segs = [s for s in orch.audio_segments if s.duration > 0.2]
+    assert len(segs) >= 2
+    # audio content survives the int16 + gate packing round trip
+    pcm = segs[0].samples
+    spec = np.abs(np.fft.rfft(pcm[800:]))
+    peak = np.fft.rfftfreq(len(pcm) - 800, 1 / 8000.0)[int(np.argmax(spec))]
+    assert 350.0 < peak < 950.0

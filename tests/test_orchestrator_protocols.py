@@ -19,6 +19,11 @@ loop the P25P1 suite exercises (tests/test_orchestrator.py):
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # ~5 min of XLA compiles (P25P2 fixture
+# alone ~300 s cold); the live-loop behavior these re-verify is covered
+# in the default suite by test_orchestrator.py, test_orchestrator_bank
+# .py and the per-protocol decoder/state tests
+
 from sdrtrunk_tpu.protocol.bits import from_int
 from sdrtrunk_tpu.runtime.identifiers import IdentifierForm, IdentifierRole
 from sdrtrunk_tpu.runtime.orchestrator import Orchestrator

@@ -112,3 +112,41 @@ def test_25khz_nbfm_on_12p5_grid():
     spec = np.abs(np.fft.rfft(audio_rx))
     f = np.fft.rfftfreq(len(audio_rx), 1 / 8000)
     assert f[np.argmax(spec)] == pytest.approx(audio_hz, abs=20.0)
+
+
+def test_synthesize_bank_round_trip():
+    """Full M-channel synthesis bank: analysis(synthesize(u)) == u
+    (delayed, unit gain) — tone exactness + C4FM decode-through."""
+    import jax.numpy as jnp
+    from sdrtrunk_tpu.dsp.channelizer import Channelizer
+    from sdrtrunk_tpu.dsp.synthesizer import synthesize_bank
+    from sdrtrunk_tpu.receiver import WidebandReceiver
+    from sdrtrunk_tpu.signal.generators import c4fm_modulate, random_dibits
+
+    ch = Channelizer.design(32 * 12500.0, 12500.0)
+    m = ch.channels
+    k = 2048
+    u = np.zeros((k, m), np.complex64)
+    u[:, 5] = np.exp(1j * 0.3)
+    tx = random_dibits(420, seed=3)
+    carrier = c4fm_modulate(tx, sample_rate=ch.channel_sample_rate)
+    u[:, 9] = carrier[:k]
+    x = synthesize_bank(u, np.asarray(ch.hmat))
+    n = len(x) // m * m
+    y, _ = ch(jnp.asarray(x[:n]))
+    y = np.asarray(y)
+    settle = 4 * ch.taps_per_channel
+    mid = y[settle:k - settle]
+    # tone bin: unit round-trip gain, exact phase
+    np.testing.assert_allclose(np.abs(mid[:, 5]), 1.0, atol=2e-3)
+    np.testing.assert_allclose(np.angle(mid[:, 5]), 0.3, atol=2e-3)
+    # C4FM bin decodes with zero BER through the round trip
+    rx = WidebandReceiver(32 * 12500.0, [ch.center_frequency(9)],
+                          decoder="c4fm")
+    step = rx.build()
+    out, _ = step(jnp.asarray(x[:n]), rx.init_state())
+    dib = np.asarray(out["dibits"][0])[np.asarray(out["valid"][0])]
+    # align recovered dibits against tx (skip acquisition)
+    s = "".join(map(str, tx))
+    r = "".join(map(str, dib[40:300]))
+    assert r in s
