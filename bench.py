@@ -236,6 +236,72 @@ def bench_orchestrator(slots: int = 8, iters: int = 20) -> dict:
     }
 
 
+def bench_pallas_vs_xla(c: int = 1023, t: int = 10240) -> dict:
+    """Record the Pallas-vs-XLA symbol-recovery comparison for both
+    DQPSK cores (VERDICT r3 weak #5: the 375-vs-101 claim lived only in
+    a docstring). Measures the demod alone on (C, T) blocks,
+    state-chained, forced-completion timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdrtrunk_tpu.dsp.psk import (DQPSKDemodulator,
+                                      GardnerDQPSKDemodulator)
+
+    rng = np.random.default_rng(0)
+    x2 = jnp.asarray(rng.standard_normal((c, t, 2)).astype(np.float32)
+                     * 0.5)
+    out = {}
+    for name, cls, kw in (
+            ("decision_directed", DQPSKDemodulator, {}),
+            ("gardner", GardnerDQPSKDemodulator, {})):
+        for impl in ("pallas", "xla"):
+            demod = cls(sample_rate=25000.0, impl=impl, **kw)
+            from sdrtrunk_tpu.parallel.boundary import complex_safe
+
+            def init(demod=demod):
+                # complex state must be built INSIDE jit on this backend
+                return jax.tree.map(
+                    lambda a: jnp.broadcast_to(a, (c,) + a.shape),
+                    demod.init_state())
+
+            def fn(x2, st, demod=demod):
+                x = jax.lax.complex(x2[..., 0], x2[..., 1])
+                d, v, st = demod.batched(x, st)
+                return d, st
+            wrapped, st = complex_safe(fn, init)
+            jstep = jax.jit(wrapped)
+            d, st = jstep(x2, st)
+            _ = np.asarray(d[:2, :8])
+            iters = 4
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                d, st = jstep(x2, st)
+            _ = np.asarray(d[:2, :8])
+            dt = time.perf_counter() - t0
+            out[f"{name}_{impl}_mcsps"] = round(
+                c * t * iters / dt / 1e6, 1)
+    for name in ("decision_directed", "gardner"):
+        out[f"{name}_speedup"] = round(
+            out[f"{name}_pallas_mcsps"] / out[f"{name}_xla_mcsps"], 2)
+    out["unit"] = "Mchan-samples/s, (1023, 10240) blocks"
+    return out
+
+
+def bench_digital_protocols(m: int = 1024, blocks: int = 5120,
+                            iters: int = 3) -> dict:
+    """Throughput of every digital protocol family through the full
+    WidebandReceiver (VERDICT r3 weak #5: only C4FM was benched; LSM and
+    P25P2 run the Gardner core — a different cost profile)."""
+    out = {}
+    for decoder in ("dmr", "lsm", "p25p2"):
+        try:
+            r, _ = bench_receiver(decoder, m, blocks, iters, "power_db")
+            out[decoder] = r
+        except Exception as e:                  # noqa: BLE001 — bench aux
+            out[decoder] = {"error": str(e)[:200]}
+    return out
+
+
 def bench_orchestrator_bank(slots: int = 1023, timed_chunks: int = 4,
                             chunk_blocks: int = 5120) -> dict:
     """The 1000-channel LIVE target end-to-end (BASELINE.json north
@@ -676,6 +742,17 @@ def main():
                 timed_chunks=6)
         except Exception as e:                  # noqa: BLE001 — bench aux
             orchestrator_bank_nbfm = {"error": str(e)[:200]}
+    if small:
+        protocols = pallas_cmp = {"skipped": "small"}
+    else:
+        try:
+            protocols = bench_digital_protocols()
+        except Exception as e:                  # noqa: BLE001 — bench aux
+            protocols = {"error": str(e)[:200]}
+        try:
+            pallas_cmp = bench_pallas_vs_xla()
+        except Exception as e:                  # noqa: BLE001 — bench aux
+            pallas_cmp = {"error": str(e)[:200]}
     scaling = measure_scaling()
 
     result = {
@@ -693,6 +770,8 @@ def main():
             "orchestrator": orchestrator,
             "orchestrator_bank_c4fm_1023": orchestrator_bank,
             "orchestrator_bank_nbfm_1023": orchestrator_bank_nbfm,
+            "digital_protocols": protocols,
+            "pallas_vs_xla": pallas_cmp,
             "dispatch_overhead": dispatch,
             "scaling": scaling,
         },

@@ -19,7 +19,8 @@ import numpy as np
 from .dsp.channelizer import Channelizer
 from .dsp.extract import plan_channels
 
-__all__ = ["WidebandReceiver", "make_channel_decoder"]
+__all__ = ["WidebandReceiver", "MultibankReceiver",
+           "make_channel_decoder"]
 
 
 def make_channel_decoder(kind: str, sample_rate: float,
@@ -46,7 +47,125 @@ def make_channel_decoder(kind: str, sample_rate: float,
     if kind == "p25p2":
         from .decoders.p25p2 import P25P2Config, P25P2Decoder
         return P25P2Decoder(P25P2Config(sample_rate=sample_rate))
+    if kind in ("ltr", "ltrnet", "passport"):
+        from .decoders.ltr import LTRLiveDecoder
+        return LTRLiveDecoder(sample_rate, channel_bandwidth)
+    if kind == "mpt1327":
+        from .decoders.ltr import MPT1327LiveDecoder
+        return MPT1327LiveDecoder(sample_rate, channel_bandwidth)
     raise ValueError(f"unknown decoder kind {kind!r}")
+
+
+def _dynamic_select_mix(y, rot, mixer_phase, bins, step_rad, m):
+    """Traced-index bin selection + PR synthesis join + residual mix for
+    a slot bank (shared by WidebandReceiver.build_dynamic and
+    MultibankReceiver): one-hot matmuls ride the MXU instead of dynamic
+    gathers, which lower ~100x slower on TPU for minor-dim traced
+    indices. Returns (streams (C, K), new_mixer_phase)."""
+    import jax.numpy as jnp
+
+    from .dsp.synthesizer import _ROT4
+    k = y.shape[0]
+    sel_lo = (bins[None, :, 0] == jnp.arange(m)[:, None]
+              ).astype(jnp.float32)                    # (M, C)
+    sel_hi = (bins[None, :, 1] == jnp.arange(m)[:, None]
+              ).astype(jnp.float32)
+    lo = jax.lax.complex(y.real @ sel_lo, y.imag @ sel_lo)
+    hi = jax.lax.complex(y.real @ sel_hi, y.imag @ sel_hi)
+    rot4 = jnp.asarray(_ROT4)[(rot + jnp.arange(k)) % 4]
+    z = rot4[:, None] * lo - jnp.conj(rot4)[:, None] * hi
+    streams = jnp.where((bins[:, 0] != bins[:, 1])[None, :], z, lo).T
+    n = jnp.arange(k, dtype=jnp.float32)[None, :]
+    angles = mixer_phase[:, None] + step_rad[:, None] * n
+    streams = streams * jnp.exp(-1j * angles).astype(jnp.complex64)
+    new_phase = jnp.mod(mixer_phase + step_rad * k, 2.0 * np.pi)
+    return streams, new_phase
+
+
+class MultibankReceiver:
+    """Heterogeneous slot banks sharing ONE channelizer in one jitted
+    graph: each bank runs a different protocol decoder over its slice of
+    the slot axis (the reference freely mixes decoder types per channel,
+    module/decode/DecoderFactory.java:117-183; here the mix is a static
+    partition of the batched slot bank — BASELINE config 4's
+    'P25 C4FM + DMR 4FSK + LTR analog decoded concurrently').
+
+    banks: ordered [(kind, n_slots), ...]; slot index = bank-major.
+    Outputs/state are keyed per bank as 'b<i>_<kind>'.
+    """
+
+    def __init__(self, sample_rate: float, banks, channel_bandwidth:
+                 float = 12500.0, taps_per_channel: int = 9):
+        self.channelizer = Channelizer.design(
+            sample_rate, channel_bandwidth, taps_per_channel)
+        rate = self.channelizer.channel_sample_rate
+        self.banks = [
+            (f"b{i}_{kind}", kind, int(n),
+             make_channel_decoder(kind, rate, channel_bandwidth))
+            for i, (kind, n) in enumerate(banks)]
+        self.num_slots = sum(n for _, _, n, _ in self.banks)
+
+    def decoder_for(self, key: str):
+        return next(d for k2, _, _, d in self.banks if k2 == key)
+
+    def slot_key(self, index: int) -> tuple[str, int]:
+        """Global slot index -> (bank key, local index)."""
+        off = 0
+        for key, _, n, _ in self.banks:
+            if index < off + n:
+                return key, index - off
+            off += n
+        raise IndexError(index)
+
+    def init_state(self) -> dict:
+        state = {
+            "chan": self.channelizer.init_state(),
+            "mixer_phase": jnp.zeros((self.num_slots,), jnp.float32),
+            "rot": jnp.zeros((), jnp.int32),
+        }
+        for key, _, n, dec in self.banks:
+            dec0 = dec.init_state()
+            state[key] = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (n,) + a.shape), dec0)
+        return state
+
+    def build_dynamic(self):
+        """step(x, state, bins (C,2), step_rad (C,)) ->
+        ({bank_key: outputs}, state) — the multi-protocol analog of
+        WidebandReceiver.build_dynamic."""
+        ch = self.channelizer
+        m = ch.channels
+        hmat = np.asarray(ch.hmat)
+        banks = self.banks
+
+        from .dsp.channelizer import _channelize_core
+
+        @jax.jit
+        def run(x, state, bins, step_rad):
+            if x.ndim == 2:
+                x = jax.lax.complex(x[:, 0], x[:, 1])
+            xp = jnp.concatenate([state["chan"], x.astype(jnp.complex64)])
+            y = _channelize_core(xp, hmat, m)
+            k = y.shape[0]
+            streams, new_phase = _dynamic_select_mix(
+                y, state["rot"], state["mixer_phase"], bins, step_rad, m)
+            outputs = {}
+            new_state = {
+                "chan": xp[-state["chan"].shape[0]:],
+                "mixer_phase": new_phase,
+                "rot": (state["rot"] + k) % 4,
+            }
+            off = 0
+            for key, _, n, dec in banks:
+                vdecode = getattr(dec, "batched_call", None) or \
+                    jax.vmap(dec.__call__)
+                outs, dstate = vdecode(streams[off:off + n], state[key])
+                outputs[key] = outs
+                new_state[key] = dstate
+                off += n
+            return outputs, new_state
+
+        return run
 
 
 class WidebandReceiver:
@@ -177,8 +296,6 @@ class WidebandReceiver:
 
         from .dsp.channelizer import _channelize_core
 
-        from .dsp.synthesizer import _ROT4
-
         @jax.jit
         def run(x, state, bins, step_rad):
             if x.ndim == 2:
@@ -186,29 +303,12 @@ class WidebandReceiver:
             xp = jnp.concatenate([state["chan"], x.astype(jnp.complex64)])
             y = _channelize_core(xp, hmat, m)                  # (K, M)
             k = y.shape[0]
-            # traced-index bin selection via one-hot matmul: slot counts
-            # are small (a handful of channels), so a (K, M) x (M, C)
-            # matmul rides the MXU instead of a dynamic gather, which
-            # lowers ~100x slower on TPU for minor-dim traced indices
-            c = bins.shape[0]
-            sel_lo = (bins[None, :, 0] == jnp.arange(m)[:, None]
-                      ).astype(jnp.float32)                    # (M, C)
-            sel_hi = (bins[None, :, 1] == jnp.arange(m)[:, None]
-                      ).astype(jnp.float32)
-            lo = jax.lax.complex(y.real @ sel_lo, y.imag @ sel_lo)
-            hi = jax.lax.complex(y.real @ sel_hi, y.imag @ sel_hi)
-            rot = jnp.asarray(_ROT4)[(state["rot"] + jnp.arange(k)) % 4]
-            z = rot[:, None] * lo - jnp.conj(rot)[:, None] * hi
-            streams = jnp.where((bins[:, 0] != bins[:, 1])[None, :],
-                                z, lo).T                       # (C, K)
-            n = jnp.arange(k, dtype=jnp.float32)[None, :]
-            angles = state["mixer_phase"][:, None] + step_rad[:, None] * n
-            streams = streams * jnp.exp(-1j * angles).astype(jnp.complex64)
+            streams, new_phase = _dynamic_select_mix(
+                y, state["rot"], state["mixer_phase"], bins, step_rad, m)
             outputs, dec_state = vdecode(streams, state["dec"])
             new_state = {
                 "chan": xp[-state["chan"].shape[0]:],
-                "mixer_phase": jnp.mod(
-                    state["mixer_phase"] + step_rad * k, 2.0 * np.pi),
+                "mixer_phase": new_phase,
                 "rot": (state["rot"] + k) % 4,
                 "dec": dec_state,
             }

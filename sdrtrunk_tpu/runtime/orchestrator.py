@@ -28,7 +28,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..audio.mbe import FakeMBECodec, MBECodec
-from ..receiver import WidebandReceiver
+from ..receiver import MultibankReceiver, WidebandReceiver
 from .events import DecodeEvent
 from .identifiers import IdentifierCollection
 from .metrics import FrequencyErrorMonitor
@@ -42,7 +42,8 @@ __all__ = ["ChannelSlot", "P25P1ChannelProcessor", "Orchestrator"]
 _PROTOCOL_LABELS = {
     "c4fm": "APCO25", "p25p1": "APCO25", "lsm": "APCO25",
     "p25p1-lsm": "APCO25", "dmr": "DMR", "p25p2": "APCO25-P2",
-    "nbfm": "NBFM", "am": "AM",
+    "nbfm": "NBFM", "am": "AM", "ltr": "LTR", "ltrnet": "LTR-Net",
+    "passport": "Passport", "mpt1327": "MPT1327",
 }
 
 
@@ -55,6 +56,9 @@ class ChannelSlot:
     is_control: bool = False
     active: bool = False
     activated_at: float = 0.0
+    kind: str | None = None      # decoder kind (multibank receivers)
+    bank_key: str | None = None  # device output/state key of the bank
+    local: int = 0               # index within the bank
 
 
 class Orchestrator:
@@ -85,14 +89,31 @@ class Orchestrator:
                  control_rotation=None,
                  rotation_delay: float = 0.5,
                  event_log_path=None,
-                 bank_mode: bool | None = None):
+                 bank_mode: bool | None = None,
+                 banks=None,
+                 channel_map=None):
         """control_rotation: optional list of absolute candidate control
         frequencies — while the control slot fails to reach CONTROL
         state within rotation_delay, cycle through them
         (ChannelRotationMonitor.java role). event_log_path: optional
         .csv / .jsonl sink for every decode event
-        (DecodeEventLogger.java role; EventLogConfig.decode_events)."""
+        (DecodeEventLogger.java role; EventLogConfig.decode_events).
+        banks: optional ordered [(kind, n_slots), ...] heterogeneous
+        protocol mix sharing one channelizer in one jitted graph
+        (DecoderFactory.java:117-183 freely mixes decoder types; here
+        the mix is a static slot partition — see MultibankReceiver).
+        The control slot(s) live in the FIRST bank; grants activate free
+        slots of that same kind. channel_map: FrequencyBand for MPT1327
+        control slots (the reference's user channel map)."""
         control_offsets_hz = list(np.atleast_1d(control_offsets_hz))
+        self.banks = ([(k2, int(n)) for k2, n in banks]
+                      if banks is not None else None)
+        if self.banks is not None:
+            if bank_mode:
+                raise ValueError("banks and bank_mode are exclusive")
+            bank_mode = False
+            slots = sum(n for _, n in self.banks)
+            decoder = self.banks[0][0]
         if slots < len(control_offsets_hz) + 1:
             raise ValueError("need at least one traffic slot")
         self.source = source
@@ -100,12 +121,18 @@ class Orchestrator:
         self.center_frequency_hz = float(center_frequency_hz)
         self.codec = codec if codec is not None else FakeMBECodec()
         self.metrics_sink = metrics_sink
+        self.channel_map = channel_map
 
         self.channel_bandwidth = float(channel_bandwidth)
         self.decoder_name = decoder
-        self.rx = WidebandReceiver(sample_rate, [0.0] * slots,
-                                   channel_bandwidth=channel_bandwidth,
-                                   decoder=decoder)
+        if self.banks is not None:
+            self.rx = MultibankReceiver(
+                sample_rate, self.banks,
+                channel_bandwidth=channel_bandwidth)
+        else:
+            self.rx = WidebandReceiver(
+                sample_rate, [0.0] * slots,
+                channel_bandwidth=channel_bandwidth, decoder=decoder)
         m = self.rx.channelizer.channels
         self.chunk_samples = (chunk_samples if chunk_samples is not None
                               else self._default_chunk(m))
@@ -159,6 +186,11 @@ class Orchestrator:
         self.steps = np.zeros(slots, np.float32)
         self._plan_dev = None
         self.slots = [ChannelSlot(i) for i in range(slots)]
+        if self.banks is not None:
+            for s in self.slots:
+                key, local = self.rx.slot_key(s.index)
+                s.bank_key, s.local = key, local
+                s.kind = key.split("_", 1)[1]
 
         self.correction_ppm = 0.0
         self.event_logger = None
@@ -185,8 +217,10 @@ class Orchestrator:
             slot.active = True
             slot.frequency_hz = self.center_frequency_hz + float(off)
             if not self.bank_mode:
+                kind = slot.kind or decoder
                 slot.processor = make_channel_processor(
-                    decoder, traffic=self.traffic, codec=self.codec)
+                    kind, traffic=self.traffic, codec=self.codec,
+                    channel_map=self.channel_map)
                 self._wire_logger(slot.processor)
             self._tune(i, float(off))
         self.rotation = None
@@ -269,8 +303,37 @@ class Orchestrator:
                                     jnp.int32)).sum(-1).astype(jnp.uint8)
             return dib4, counts, hbits
 
+        def pack_sym(symbols, valid):
+            return (symbols.astype(jnp.int32)
+                    | (valid.astype(jnp.int32) << 2)).astype(jnp.int8)
+
+        multibank = self.banks is not None
+
         def fused(x, state, bins, steps):
             out, st = base(ingest(x), state, bins, steps)
+            if multibank:
+                # heterogeneous banks: per-bank packing under flat
+                # "<bank>/<field>" keys
+                out2 = {}
+                for key, outs in out.items():
+                    if "dibits" in outs:
+                        out2[f"{key}/sym"] = pack_sym(outs["dibits"],
+                                                      outs["valid"])
+                        if "pll_freq" in outs:
+                            out2[f"{key}/pll"] = outs["pll_freq"]
+                    elif "bits" in outs:     # analog trunking: both
+                        out2[f"{key}/sym"] = pack_sym(outs["bits"],
+                                                      outs["valid"])
+                        out2[f"{key}/audio"] = outs["audio"].astype(
+                            jnp.float32)
+                        out2[f"{key}/gate"] = outs["audio_gate"].astype(
+                            jnp.int8)
+                    else:
+                        out2[f"{key}/audio"] = outs["audio"].astype(
+                            jnp.float32)
+                        out2[f"{key}/gate"] = outs["audio_gate"].astype(
+                            jnp.int8)
+                return out2, st
             if "dibits" in out and bank_cap is not None:
                 dib4, counts, hbits = compact_and_correlate(
                     out["dibits"], out["valid"])
@@ -315,6 +378,23 @@ class Orchestrator:
             return out2, st
 
         wrapped, packed0 = complex_safe(fused, self.rx.init_state)
+
+        if self.banks is not None:
+            bank_dec0 = {
+                key: jax.jit(lambda dec=dec: pack_tree(dec.init_state()))()
+                for key, _, _, dec in self.rx.banks}
+
+            def reset_slot(state, slot):
+                key, local = self.rx.slot_key(slot)
+                dec = jax.tree.map(
+                    lambda full, init: full.at[local].set(init),
+                    state[key], bank_dec0[key])
+                return {**state, key: dec,
+                        "mixer_phase":
+                            state["mixer_phase"].at[slot].set(0.0)}
+
+            return jax.jit(wrapped), packed0, reset_slot
+
         dec0_packed = jax.jit(
             lambda: pack_tree(self.rx.decoder.init_state()))()
 
@@ -332,6 +412,11 @@ class Orchestrator:
         streams to 8 kHz, so the per-channel block length (2*chunk/m)
         must be a multiple of the resampler's `down` factor for
         block-periodic streaming (dsp/fir.polyphase_resample)."""
+        if self.banks is not None:
+            # K = 250 channel samples satisfies every bank family: the
+            # 8 kHz resampler (K % 25 == 0) and the AFSK correlator's
+            # audio step (Ka % 10 == 0)
+            return m * 125
         if self.decoder_name in ("nbfm", "am"):
             down = getattr(self.rx.decoder, "down", 25)
             # K = 2*chunk/m must be a multiple of `down`
@@ -358,10 +443,12 @@ class Orchestrator:
     def _wire_logger(self, processor) -> None:
         """Route a processor's decode-event history into the event-log
         sink (EventLogConfig.decode_events -> DecodeEventLogger)."""
-        if self.event_logger is not None \
-                and hasattr(processor, "state") \
-                and hasattr(processor.state, "history"):
-            processor.state.history.add_listener(self.event_logger.receive)
+        if self.event_logger is None:
+            return
+        hist = getattr(getattr(processor, "state", None), "history",
+                       None) or getattr(processor, "history", None)
+        if hist is not None and hasattr(hist, "add_listener"):
+            hist.add_listener(self.event_logger.receive)
 
     def _bank_reset_slot(self, index: int, preload=None) -> None:
         self.bank_proc.reset_slot(index, preload=preload)
@@ -456,10 +543,15 @@ class Orchestrator:
         reference tears the whole polyphase down and recreates it)."""
         slots = len(self.slots)
         self.sample_rate = float(new_sample_rate)
-        self.rx = WidebandReceiver(
-            self.sample_rate, [0.0] * slots,
-            channel_bandwidth=self.channel_bandwidth,
-            decoder=self.decoder_name)
+        if self.banks is not None:
+            self.rx = MultibankReceiver(
+                self.sample_rate, self.banks,
+                channel_bandwidth=self.channel_bandwidth)
+        else:
+            self.rx = WidebandReceiver(
+                self.sample_rate, [0.0] * slots,
+                channel_bandwidth=self.channel_bandwidth,
+                decoder=self.decoder_name)
         m = self.rx.channelizer.channels
         self.chunk_samples = self._default_chunk(m)
         if self.bank_mode:
@@ -473,17 +565,21 @@ class Orchestrator:
         self._plan_dev = None
         self.retune(self.center_frequency_hz)
 
-    def _free_slot(self) -> ChannelSlot | None:
+    def _free_slot(self, kind: str | None = None) -> ChannelSlot | None:
         for slot in self.slots:
-            if not slot.active and not slot.is_control:
+            if not slot.active and not slot.is_control \
+                    and (kind is None or slot.kind == kind):
                 return slot
         return None
 
     def _activate(self, frequency_hz: float,
-                  identifiers: IdentifierCollection) -> None:
+                  identifiers: IdentifierCollection,
+                  kind: str | None = None) -> None:
         """Traffic grant -> start decoding the granted frequency
         (P25TrafficChannelManager.processChannelGrant:229 ->
-        REQUEST_ENABLE -> startProcessing equivalent)."""
+        REQUEST_ENABLE -> startProcessing equivalent). In a multibank
+        receiver, `kind` picks the protocol bank (default: the control
+        bank's kind — grants from a P25 control start P25 slots)."""
         offset = frequency_hz - self.center_frequency_hz
         ch = self.rx.channelizer
         if abs(offset) > ch.channels * ch.channel_spacing / 2:
@@ -492,7 +588,9 @@ class Orchestrator:
         for slot in self.slots:          # already tracking this frequency?
             if slot.active and slot.frequency_hz == frequency_hz:
                 return
-        slot = self._free_slot()
+        if kind is None and self.banks is not None:
+            kind = self.decoder_name
+        slot = self._free_slot(kind)
         if slot is None:
             self.skipped_grants.append(frequency_hz)
             return
@@ -513,8 +611,8 @@ class Orchestrator:
                 extra["scramble_key"] = s.processor.state.scramble_key
                 break
         slot.processor = make_channel_processor(
-            self.decoder_name, traffic=None, codec=self.codec,
-            preload=identifiers, **extra)
+            slot.kind or self.decoder_name, traffic=None,
+            codec=self.codec, preload=identifiers, **extra)
         self._wire_logger(slot.processor)
 
     def _teardown(self, frequency_hz: float) -> None:
@@ -614,7 +712,13 @@ class Orchestrator:
         if "packed" in out or "packed_audio" in out:
             out = {**self._pull_bank(out)}     # un-pipelined bank path
             pll_raw = out.get("pll_raw")
-        if "bank_msgs" in out:
+        if self.banks is not None:
+            host = {key: np.asarray(v) for key, v in out.items()}
+            ctrl_pll = f"{self.slots[0].bank_key}/pll"
+            if ctrl_pll in host:
+                pll_raw = float(host[ctrl_pll]
+                                [self.slots[0].local])
+        elif "bank_msgs" in out:
             bank_msgs, counts = out["bank_msgs"], out["counts"]
         elif "bank_audio" in out:
             audio, gate = out["bank_audio"], out["bank_gate"]
@@ -638,7 +742,31 @@ class Orchestrator:
             self.ppm_monitor.update(pll_err_hz, self.now)
 
         frames = 0
-        if self.bank_mode:
+        if self.banks is not None:
+            for slot in self.slots:
+                if not slot.active:
+                    continue
+                key, li = slot.bank_key, slot.local
+                sym = host.get(f"{key}/sym")
+                aud = host.get(f"{key}/audio")
+                if sym is not None and aud is not None:
+                    p = sym[li]
+                    n = slot.processor.process_mixed(
+                        (p & 1)[(p >> 2) > 0], aud[li],
+                        host[f"{key}/gate"][li] > 0, self.now)
+                elif sym is not None:
+                    p = sym[li]
+                    n = slot.processor.process((p & 3)[(p >> 2) > 0],
+                                               self.now)
+                else:
+                    n = slot.processor.process_audio(
+                        aud[li], host[f"{key}/gate"][li] > 0, self.now)
+                frames += n
+                if n and not slot.is_control:
+                    self.traffic.process_activity(slot.frequency_hz,
+                                                  self.now)
+                self.audio_segments.extend(slot.processor.drain_audio())
+        elif self.bank_mode:
             active = np.array([s.active for s in self.slots])
             if self.bank_analog:
                 per_slot = self.bank_proc.route_audio(audio, gate,

@@ -26,7 +26,8 @@ from ..protocol.dmr.framer import DMRFramer
 from ..protocol.p25p1.framer import P25P1Framer
 from ..protocol.p25p1.messages import decode_frame
 from ..protocol.p25p2.framer import P25P2Framer
-from .identifiers import IdentifierCollection
+from .identifiers import (Identifier, IdentifierCollection,
+                          IdentifierRole)
 from .metrics import ChannelMetrics
 from .dmr_state import DMRDecoderState
 from .p25_state import P25P1DecoderState
@@ -304,6 +305,8 @@ PROCESSOR_REGISTRY = {
     "nbfm": NBFMChannelProcessor,
     "am": NBFMChannelProcessor,            # same gated-audio assembly
 }
+# the analog-trunking families (DecoderFactory.java:398-425) register
+# below their class definitions at the end of this module
 
 
 def make_channel_processor(kind: str, **kwargs):
@@ -316,3 +319,199 @@ def make_channel_processor(kind: str, **kwargs):
     import inspect
     accepted = inspect.signature(cls.__init__).parameters
     return cls(**{k: v for k, v in kwargs.items() if k in accepted})
+
+
+class _AnalogTrunkProcessorBase:
+    """Shared shape of the analog-trunking slot processors (LTR family,
+    MPT1327): sliced sub-audible/AFSK bits + squelch-gated voice from
+    the SAME device slot (decoders/ltr.py LTRLiveDecoder outputs),
+    producing decode events + AudioSegments — the module lists
+    DecoderFactory.java:398-425 builds for these protocols."""
+
+    def __init__(self, preload: IdentifierCollection | None = None):
+        from .events import DecodeEventHistory
+        self.audio = AnalogAudioModule(
+            identifiers=preload.all() if preload is not None else None)
+        self.metrics = ChannelMetrics()
+        self.history = DecodeEventHistory()
+        self.messages: list = []
+        self.frame_count = 0
+
+    def process_mixed(self, bits: np.ndarray, audio: np.ndarray,
+                      gate: np.ndarray, now: float) -> int:
+        msgs = self._frame(bits)
+        self.metrics.update(len(bits), msgs)
+        for m in msgs:
+            self.messages.append(m)
+            self.metrics.message(True)
+            self._receive(m, now)
+        self.audio.receive(audio, gate, now)
+        self.frame_count += len(msgs)
+        return len(msgs)
+
+    def drain_audio(self):
+        done = self.audio.completed
+        self.audio.completed = []
+        return done
+
+    def flush(self, now: float) -> None:
+        self.audio.end_call(now)
+
+    def channel_state(self):
+        from .state import ChannelState
+        return (ChannelState.CALL if self.audio.segment is not None
+                else ChannelState.IDLE)
+
+
+class LTRChannelProcessor(_AnalogTrunkProcessorBase):
+    """LTR standard slot: OSW words -> group-call decode events
+    (ltrstandard/LTRStandardDecoderState.java role). A CALL word opens
+    (or refreshes) a group-call event; CALL_END or idle closes it."""
+
+    protocol = "LTR"
+
+    def __init__(self, traffic=None, codec=None,
+                 preload: IdentifierCollection | None = None,
+                 direction: str = "OSW"):
+        from ..protocol.ltr import LTRFramer
+        super().__init__(preload)
+        self.framer = LTRFramer(direction)
+        self._open: dict[int, object] = {}      # talkgroup -> DecodeEvent
+
+    def _frame(self, bits):
+        return self.framer.process(bits)
+
+    def _receive(self, m, now: float) -> None:
+        from ..protocol.ltr.messages import LTRMessageType
+        from .events import DecodeEvent, DecodeEventType
+        if m.message_type == LTRMessageType.CALL:
+            tg = (m.area << 13) | (m.home << 8) | m.group
+            ev = self._open.get(tg)
+            if ev is None:
+                idents = IdentifierCollection()
+                idents.update(Identifier.talkgroup(
+                    tg, IdentifierRole.TO, self.protocol))
+                ev = DecodeEvent(
+                    event_type=DecodeEventType.CALL_GROUP,
+                    time_start=now, protocol=self.protocol,
+                    identifiers=idents,
+                    details=f"LCN {m.channel} home {m.home}")
+                self._open[tg] = ev
+                self.history.receive(ev)
+            ev.duration = max(ev.duration, now - ev.time_start)
+        elif m.message_type == LTRMessageType.CALL_END:
+            tg_keys = [k for k in self._open
+                       if (k >> 8) & 0x1F == m.home]
+            for k in tg_keys:
+                self._open.pop(k, None)
+
+    @property
+    def events(self):
+        return list(self.history.events)
+
+
+class LTRNetChannelProcessor(_AnalogTrunkProcessorBase):
+    """LTR-Net slot: OSW stream through the LtrNetTracker site state
+    (ltrnet/LTRNetDecoderState.java role)."""
+
+    protocol = "LTR-Net"
+
+    def __init__(self, traffic=None, codec=None,
+                 preload: IdentifierCollection | None = None,
+                 direction: str = "OSW"):
+        from ..protocol.ltr import LtrNetFramer, LtrNetTracker
+        super().__init__(preload)
+        self.framer = LtrNetFramer(direction)
+        self.tracker = LtrNetTracker()
+
+    def _frame(self, bits):
+        return self.framer.process(bits)
+
+    def _receive(self, m, now: float) -> None:
+        from .events import DecodeEvent, DecodeEventType
+        before = len(self.tracker.events)
+        self.tracker.process(m)
+        for ev in self.tracker.events[before:]:
+            if ev.get("type") == "call":
+                idents = IdentifierCollection()
+                idents.update(Identifier.talkgroup(
+                    ev.get("talkgroup", 0), IdentifierRole.TO,
+                    self.protocol))
+                self.history.receive(DecodeEvent(
+                    event_type=DecodeEventType.CALL_GROUP,
+                    time_start=now, protocol=self.protocol,
+                    identifiers=idents,
+                    details=f"LCN {ev.get('lcn')}"))
+
+
+class PassportChannelProcessor(_AnalogTrunkProcessorBase):
+    """Passport slot (passport/PassportDecoderState.java role)."""
+
+    protocol = "Passport"
+
+    def __init__(self, traffic=None, codec=None,
+                 preload: IdentifierCollection | None = None):
+        from ..protocol.passport import PassportFramer
+        super().__init__(preload)
+        self.framer = PassportFramer()
+
+    def _frame(self, bits):
+        return self.framer.process(bits)
+
+    def _receive(self, m, now: float) -> None:
+        from ..protocol.passport import PassportMessageType
+        from .events import DecodeEvent, DecodeEventType
+        if m.message_type == PassportMessageType.CALL_START:
+            idents = IdentifierCollection()
+            idents.update(Identifier.talkgroup(
+                m.group, IdentifierRole.TO, self.protocol))
+            self.history.receive(DecodeEvent(
+                event_type=DecodeEventType.CALL_GROUP, time_start=now,
+                protocol=self.protocol, identifiers=idents,
+                details=f"LCN {m.lcn} site {m.site}"))
+
+
+class MPT1327ChannelProcessor(_AnalogTrunkProcessorBase):
+    """MPT1327 control slot: AFSK codewords -> GTC grants driving the
+    traffic manager (mpt1327/MPT1327DecoderState.java +
+    MPT1327TrafficChannelManager.java role). channel_map: FrequencyBand
+    mapping traffic channel numbers to frequencies (the reference's
+    user-configured channel map, controller/config channel maps)."""
+
+    protocol = "MPT1327"
+
+    def __init__(self, traffic: TrafficChannelManager | None = None,
+                 codec=None, preload: IdentifierCollection | None = None,
+                 channel_map=None, channel_type: str = "control"):
+        from ..protocol.mpt1327 import MPT1327Framer
+        super().__init__(preload)
+        self.framer = MPT1327Framer(channel_type)
+        self.traffic = traffic
+        if traffic is not None and channel_map is not None:
+            traffic.update_band(channel_map)
+        self._now = 0.0
+
+    def _frame(self, bits):
+        return self.framer.process(bits)
+
+    def _receive(self, m, now: float) -> None:
+        from ..protocol.mpt1327 import MPT1327MessageType
+        if m.message_type == MPT1327MessageType.GTC \
+                and self.traffic is not None:
+            f = m.fields
+            ident = f.get("ident1")
+            self.traffic.process_grant(
+                band_id=0, channel_number=f.get("channel", 0), now=now,
+                group=((f.get("prefix", 0) << 13) | ident)
+                if ident is not None else None)
+            self.traffic.check_teardown(now)
+
+
+# analog trunking: each runs live as an audio+bits slot
+# (decoders/ltr.py live decoders + the processors above)
+PROCESSOR_REGISTRY.update({
+    "ltr": LTRChannelProcessor,
+    "ltrnet": LTRNetChannelProcessor,
+    "passport": PassportChannelProcessor,
+    "mpt1327": MPT1327ChannelProcessor,
+})
