@@ -25,7 +25,9 @@ _CONNECT_PLUS_NAMES = {
     1: "CONPLUS_NEIGHBOR_REPORT",
     3: "CONPLUS_VOICE_CHANNEL_USER",
     6: "CONPLUS_DATA_CHANNEL_GRANT",
+    10: "CONPLUS_OTA_ANNOUNCEMENT",
     12: "CONPLUS_TERMINATE_CHANNEL_GRANT",
+    16: "CONPLUS_CSBKO_16",
     17: "CONPLUS_REGISTRATION_REQUEST",
     18: "CONPLUS_REGISTRATION_RESPONSE",
     24: "CONPLUS_TALKGROUP_AFFILIATION",
@@ -33,11 +35,13 @@ _CONNECT_PLUS_NAMES = {
     29: "CONPLUS_DATA_WINDOW_GRANT",
 }
 _CAPACITY_PLUS_NAMES = {
+    25: "CAPMAX_ALOHA",
     31: "CAPPLUS_CALL_ALERT",
     32: "CAPPLUS_CALL_ALERT_ACK",
     41: "CAPPLUS_DATA_WINDOW_ANNOUNCEMENT",
     42: "CAPPLUS_DATA_WINDOW_GRANT",
     59: "CAPPLUS_NEIGHBOR_REPORT",
+    60: "CAPPLUS_CSBKO_60",
     61: "CAPPLUS_PREAMBLE",
     62: "CAPPLUS_SYSTEM_STATUS",
 }
@@ -48,24 +52,54 @@ _HYTERA_NAMES = {
 }
 
 _CONNECT_PLUS_FIELDS: dict[int, list] = {
+    # ConnectPlusNeighborReport.java:38-44 (6 one-byte site entries)
+    1: [(f"neighbor_site_{i + 1}", 8 * i, 8 * i + 8) for i in range(6)],
     # ConnectPlusVoiceChannelUser.java:44-50 — the Con+ "grant"
     3: [("source_address", 0, 24), ("group_address", 24, 48),
         ("repeater", 48, 52), ("timeslot_bit", 52, 53)],
     # ConnectPlusDataChannelGrant.java:42-48
     6: [("target_address", 0, 24), ("repeater", 24, 28),
         ("timeslot_bit", 28, 29)],
+    # ConnectPlusOTAAnnouncement.java:40-49 (CSBKO 10)
+    10: [("ota_message_type", 0, 8), ("version", 8, 24),
+         ("data_repeater", 48, 52), ("data_timeslot_bit", 52, 53)],
     12: [("target_address", 0, 24)],
     17: [("source_address", 0, 24), ("target_address", 24, 48)],
     18: [("source_address", 0, 24), ("target_address", 24, 48)],
     24: [("source_address", 0, 24), ("group_address", 24, 48)],
+    # ConnectPlusDataRevertWindowAnnouncement.java:41-47
+    28: [("window", 0, 7), ("superframe", 8, 12), ("repeater", 12, 16),
+         ("target_radio", 16, 40)],
+    # ConnectPlusDataRevertWindowGrant.java:41-45
+    29: [("target_address", 0, 24), ("superframe", 32, 36),
+         ("window", 54, 59)],
 }
 _CAPACITY_PLUS_FIELDS: dict[int, list] = {
+    # CapacityMaxAloha.java:43-62
+    25: [("site_ts_sync", 2, 3), ("version", 3, 6),
+         ("timing_offset", 6, 7), ("network_connected", 7, 8),
+         ("mask", 8, 13), ("service_function", 13, 15),
+         ("n_rand_wait", 15, 19), ("registration_required", 19, 20),
+         ("backoff", 20, 24), ("radio", 40, 64)],
+    # CapacityPlusDataRevertWindowAnnouncement.java:40-47
+    41: [("target_radio", 8, 24), ("window", 24, 32),
+         ("superframe", 32, 40)],
+    # CapacityPlusDataRevertWindowGrant.java:40-44
+    42: [("target_address", 8, 24), ("window", 24, 32),
+         ("superframe", 32, 40)],
+    # CapacityPlusNeighbors.java:43-63 (neighbor site/rest pairs)
+    59: [("lc_start_stop", 0, 2), ("timeslot_bit", 2, 3),
+         ("rest_repeater", 3, 7), ("rest_timeslot_bit", 7, 8),
+         ("async", 8, 9), ("site", 9, 12), ("neighbor_count", 13, 16)]
+        + [pair for i in range(6) for pair in
+           ((f"neighbor_{i + 1}_site", 16 + 8 * i, 20 + 8 * i),
+            (f"neighbor_{i + 1}_rest", 20 + 8 * i, 24 + 8 * i))],
+    # CapacityPlusPreamble.java:41-51
+    61: [("radio_talkgroup_flag", 1, 2), ("blocks_to_follow", 2, 7),
+         ("target_address", 24, 40), ("source_address", 48, 64)],
     # CapacityPlusSystemStatus.java:41-44 — rest (idle) channel marker
     62: [("fragment", 0, 2), ("rest_repeater", 3, 7),
          ("rest_timeslot_bit", 7, 8)],
-    59: [("lc_start_stop", 0, 2), ("rest_repeater", 3, 7),
-         ("rest_timeslot_bit", 7, 8), ("site", 9, 12),
-         ("neighbor_count", 13, 16)],
 }
 _HYTERA_FIELDS: dict[int, list] = {
     # HyteraXPTSiteState.java:41-51 (sequence number sits in the header
@@ -78,6 +112,11 @@ _HYTERA_FIELDS: dict[int, list] = {
     # HyteraAnnouncement.java:40-49
     40: [("announcement_type", 0, 5), ("params_1", 5, 19),
          ("backoff", 20, 24), ("params_2", 40, 64)],
+    # HyteraXPTPreamble.java:42-50
+    61: [("free_repeater", 16, 20), ("priority_repeater", 20, 24),
+         ("target_address", 24, 40),
+         ("priority_call_hashed_address", 40, 48),
+         ("source_address", 48, 64)],
 }
 
 

@@ -94,6 +94,48 @@ class UDPHeader:
                          _u16(data, 4), _u16(data, 6))
 
 
+# (type, code) -> label, mirroring icmp/ICMPTypeCode.java:30-90
+ICMP_TYPE_CODES = {
+    (0, 0): "ECHO REPLY",
+    (3, 0): "DESTINATION NETWORK UNREACHABLE",
+    (3, 1): "DESTINATION HOST UNREACHABLE",
+    (3, 2): "DESTINATION PROTOCOL UNREACHABLE",
+    (3, 3): "DESTINATION PORT UNREACHABLE",
+    (3, 4): "FRAGMENTATION REQUIRED",
+    (3, 5): "SOURCE ROUTE FAILED",
+    (3, 6): "DESTINATION NETWORK UNKNOWN",
+    (3, 7): "DESTINATION HOST UNKNOWN",
+    (3, 8): "SOURCE HOST ISOLATED",
+    (3, 9): "NETWORK ADMINISTRATIVELY PROHIBITED",
+    (3, 10): "HOST ADMINISTRATIVELY PROHIBITED",
+    (3, 11): "NETWORK UNREACHABLE FOR TOS",
+    (3, 12): "HOST UNREACHABLE FOR TOS",
+    (3, 13): "COMMUNICATION ADMINISTRATIVELY PROHIBITED",
+    (3, 14): "HOST PRECEDENCE VIOLATION",
+    (3, 15): "PRECEDENCE CUTOFF IN EFFECT",
+    (5, 0): "REDIRECT DATAGRAM FOR THE NETWORK",
+    (5, 1): "REDIRECT DATAGRAM FOR THE HOST",
+    (5, 2): "REDIRECT DATAGRAM FOR THE TOS & NETWORK",
+    (5, 3): "REDIRECT DATAGRAM FOR THE TOS & HOST",
+    (8, 0): "ECHO REQUEST",
+    (9, 0): "ROUTER ADVERTISEMENT",
+    (10, 0): "ROUTER SOLICITATION",
+    (11, 0): "TTL EXPIRED IN TRANSIT",
+    (11, 1): "FRAGMENT REASSEMBLY TIME EXCEEDED",
+    (12, 0): "IP HEADER ERROR - POINTER INDICATES ERROR",
+    (12, 1): "IP HEADER ERROR - MISSING REQUIRED OPTION",
+    (12, 2): "IP HEADER ERROR - BAD LENGTH",
+    (13, 0): "TIMESTAMP",
+    (14, 0): "TIMESTAMP REPLY",
+    (42, 0): "EXTENDED ECHO REQUEST",
+    (43, 0): "EXTENDED ECHO - NO ERROR",
+    (43, 1): "EXTENDED ECHO - MALFORMED QUERY",
+    (43, 2): "EXTENDED ECHO - NO SUCH INTERFACE",
+    (43, 3): "EXTENDED ECHO - NO SUCH TABLE ENTRY",
+    (43, 4): "EXTENDED ECHO - MULTIPLE INTERFACES",
+}
+
+
 @dataclass
 class ICMPHeader:
     icmp_type: int
@@ -105,6 +147,19 @@ class ICMPHeader:
         if len(data) < 4:
             return None
         return ICMPHeader(data[0], data[1], _u16(data, 2))
+
+    @property
+    def type_code(self) -> str:
+        """ICMPTypeCode.fromValue label (UNKNOWN when unlisted)."""
+        return ICMP_TYPE_CODES.get((self.icmp_type, self.code),
+                                   "UNKNOWN")
+
+    def describe(self) -> str:
+        label = self.type_code
+        if label == "UNKNOWN":
+            return (f"ICMP UNKNOWN TYPE CODE:"
+                    f"{(self.icmp_type << 8) | self.code}")
+        return f"ICMP {label}"
 
 
 @dataclass
@@ -132,6 +187,7 @@ PORT_ARS = 4005
 PORT_LRRP = 4001
 PORT_XCMP = 4004
 PORT_TMS = 4007
+PORT_CELLOCATOR = 231
 
 
 def parse_ipv4(data: bytes) -> IPV4Packet | None:
@@ -158,6 +214,13 @@ def parse_ipv4(data: bytes) -> IPV4Packet | None:
             elif PORT_XCMP in ports:
                 from .xcmp import parse_xcmp
                 app = parse_xcmp(payload)
+            else:
+                # Cellocator rides port 231 but can appear on any port;
+                # the 'MCGP' magic decides
+                # (PacketMessageFactory.java:124-163)
+                from .cellocator import is_cellocator, parse_cellocator
+                if PORT_CELLOCATOR in ports or is_cellocator(payload):
+                    app = parse_cellocator(payload)
     elif header.protocol == IPProtocol.ICMP:
         transport = ICMPHeader.parse(body)
         payload = body[4:]

@@ -49,9 +49,10 @@ _MOTOROLA_FIELDS: dict[int, list] = {
     0x03: [("frequency_band_1", 0, 4), ("channel_number_1", 4, 16),
            ("patch_group_1", 16, 32), ("frequency_band_2", 32, 36),
            ("channel_number_2", 36, 48), ("patch_group_2", 48, 64)],
-    # MotorolaDenyResponse.java:44-48
-    0x07: [("service_type", 2, 8), ("reason", 8, 16),
-           ("additional_info", 16, 40), ("target_address", 40, 64)],
+    # MotorolaDenyResponse.java:42-48
+    0x07: [("additional_info_flag", 0, 1), ("service_type", 2, 8),
+           ("reason", 8, 16), ("additional_info", 16, 40),
+           ("target_address", 40, 64)],
     # MotorolaBaseStationId.java:38-47 (characters handled separately)
     0x0B: [("frequency_band", 48, 52), ("channel_number", 52, 64)],
 }

@@ -185,3 +185,149 @@ def test_xcmp_over_udp():
     assert pkt.application.message_type_name == "NETWORK_FREQUENCY_FILE"
     assert pkt.application.payload == bytes([0xAA, 0xBB, 0xCC])
     assert "XCMP" in pkt.describe()
+
+
+def test_capacity_max_aloha_fields():
+    d = np.zeros(64, np.uint8)
+    d[3:6] = from_int(5, 3)                  # version
+    d[8:13] = from_int(0x15, 5)              # mask
+    d[20:24] = from_int(9, 4)                # backoff
+    d[40:64] = from_int(0xABCDE, 24)         # radio
+    c = csbk_decode(csbk_encode(25, d, fid=FID_CAPACITY_PLUS))
+    assert c.opcode_name == "CAPMAX_ALOHA"
+    assert c.fields["version"] == 5
+    assert c.fields["mask"] == 0x15
+    assert c.fields["backoff"] == 9
+    assert c.fields["radio"] == 0xABCDE
+
+
+def test_capacity_plus_neighbors_fields():
+    d = np.zeros(64, np.uint8)
+    d[3:7] = from_int(4, 4)                  # rest repeater
+    d[9:12] = from_int(3, 3)                 # site
+    d[13:16] = from_int(2, 3)                # neighbor count
+    d[16:20] = from_int(7, 4)                # neighbor 1 site
+    d[20:24] = from_int(6, 4)                # neighbor 1 rest
+    d[24:28] = from_int(5, 4)                # neighbor 2 site
+    c = csbk_decode(csbk_encode(59, d, fid=FID_CAPACITY_PLUS))
+    assert c.opcode_name == "CAPPLUS_NEIGHBOR_REPORT"
+    assert c.fields["site"] == 3
+    assert c.fields["neighbor_count"] == 2
+    assert c.fields["neighbor_1_site"] == 7
+    assert c.fields["neighbor_1_rest"] == 6
+    assert c.fields["neighbor_2_site"] == 5
+
+
+def test_connect_plus_data_revert_windows():
+    d = np.zeros(64, np.uint8)
+    d[0:7] = from_int(33, 7)                 # window
+    d[8:12] = from_int(4, 4)                 # superframe
+    d[12:16] = from_int(2, 4)                # repeater
+    d[16:40] = from_int(0x54321, 24)         # target radio
+    c = csbk_decode(csbk_encode(28, d, fid=FID_CONNECT_PLUS))
+    assert c.opcode_name == "CONPLUS_DATA_WINDOW_ANNOUNCEMENT"
+    assert c.fields["window"] == 33
+    assert c.fields["superframe"] == 4
+    assert c.fields["target_radio"] == 0x54321
+
+    g = np.zeros(64, np.uint8)
+    g[0:24] = from_int(0x54321, 24)
+    g[32:36] = from_int(6, 4)
+    g[54:59] = from_int(17, 5)
+    c = csbk_decode(csbk_encode(29, g, fid=FID_CONNECT_PLUS))
+    assert c.opcode_name == "CONPLUS_DATA_WINDOW_GRANT"
+    assert c.fields["target_address"] == 0x54321
+    assert c.fields["superframe"] == 6
+    assert c.fields["window"] == 17
+
+
+def test_hytera_xpt_preamble_fields():
+    d = np.zeros(64, np.uint8)
+    d[16:20] = from_int(2, 4)                # free repeater
+    d[24:40] = from_int(0x1234, 16)          # target
+    d[48:64] = from_int(0x4567, 16)          # source
+    c = csbk_decode(csbk_encode(61, d, fid=FID_HYTERA_68))
+    assert c.opcode_name == "HYTERA_XPT_PREAMBLE"
+    assert c.fields["free_repeater"] == 2
+    assert c.fields["target_address"] == 0x1234
+    assert c.fields["source_address"] == 0x4567
+
+
+# ------------------------------------------------------------- IP stack
+
+def test_icmp_type_codes():
+    from sdrtrunk_tpu.protocol.ip.packets import ICMPHeader, ipv4_checksum
+    from sdrtrunk_tpu.protocol.ip.packets import parse_ipv4
+    h = ICMPHeader.parse(bytes([8, 0, 0x12, 0x34]))
+    assert h.type_code == "ECHO REQUEST"
+    assert h.describe() == "ICMP ECHO REQUEST"
+    assert ICMPHeader.parse(bytes([3, 3, 0, 0])).type_code == \
+        "DESTINATION PORT UNREACHABLE"
+    assert "UNKNOWN TYPE CODE" in \
+        ICMPHeader.parse(bytes([200, 9, 0, 0])).describe()
+    # through the IPV4 layer (protocol 1)
+    icmp = bytes([0, 0, 0, 0, 1, 2, 3, 4])
+    total = 20 + len(icmp)
+    hdr = bytearray([0x45, 0, total >> 8, total & 0xFF, 0, 0, 0, 0, 64,
+                     1, 0, 0, 10, 0, 0, 1, 10, 0, 0, 2])
+    cs = ipv4_checksum(bytes(hdr))
+    hdr[10], hdr[11] = cs >> 8, cs & 0xFF
+    pkt = parse_ipv4(bytes(hdr) + icmp)
+    assert pkt.transport.type_code == "ECHO REPLY"
+
+
+def test_cellocator_location_status():
+    import math
+    import struct
+    from sdrtrunk_tpu.protocol.ip.cellocator import (MCGPMessageType,
+                                                     parse_cellocator)
+    p = bytearray(65)
+    struct.pack_into("<I", p, 0, 0xDEAD01)           # unit id
+    p[6] = 42                                        # numerator
+    p[38] = 9                                        # satellites
+    struct.pack_into("<i", p, 39, int(math.radians(-122.41) * 1e8))
+    struct.pack_into("<i", p, 43, int(math.radians(37.77) * 1e8))
+    struct.pack_into("<i", p, 47, 12345)             # alt cm
+    struct.pack_into("<i", p, 51, 2500)              # 2500 cm/s = 90 kph
+    struct.pack_into("<H", p, 55, 1571)              # ~pi/2 -> 90 deg
+    p[57], p[58], p[59], p[60], p[61] = 30, 15, 12, 21, 8
+    struct.pack_into("<H", p, 62, 2026)
+    msg = b"MCGP" + bytes([0]) + bytes(p)
+    assert len(msg) == 70
+    pkt = parse_cellocator(msg)
+    assert pkt.message_type == MCGPMessageType.OUTBOUND_LOCATION_STATUS
+    loc = pkt.content
+    assert loc.unit_id == 0xDEAD01
+    assert loc.message_numerator == 42
+    assert loc.satellites == 9
+    assert abs(loc.longitude - -122.41) < 1e-5
+    assert abs(loc.latitude - 37.77) < 1e-5
+    assert abs(loc.altitude_m - 123.45) < 1e-6
+    assert abs(loc.speed_kph - 90.0) < 0.1
+    assert abs(loc.heading_deg - 90.0) < 0.1
+    assert loc.utc == (2026, 8, 21, 12, 15, 30)
+    assert "CELLOCATOR RADIO:" in pkt.describe()
+
+
+def test_cellocator_type_disambiguation_and_udp():
+    from sdrtrunk_tpu.protocol.ip import ipv4_checksum
+    from sdrtrunk_tpu.protocol.ip.cellocator import (MCGPMessageType,
+                                                     parse_cellocator)
+    from sdrtrunk_tpu.protocol.ip.packets import parse_ipv4
+    # type 0 at 25 bytes = inbound command; at 70 = location status
+    cmd = b"MCGP" + bytes([0]) + bytes(20)
+    assert parse_cellocator(cmd).message_type == \
+        MCGPMessageType.INBOUND_GENERIC_COMMAND
+    ack = b"MCGP" + bytes([4]) + bytes(8) + bytes(15)
+    assert parse_cellocator(ack).message_type == \
+        MCGPMessageType.INBOUND_GENERAL_ACKNOWLEDGE
+    # over UDP port 231
+    udp = bytes([0, 231, 0, 231, 0, 8 + len(cmd), 0, 0]) + cmd
+    total = 20 + len(udp)
+    hdr = bytearray([0x45, 0, total >> 8, total & 0xFF, 0, 0, 0, 0, 64,
+                     17, 0, 0, 10, 0, 0, 1, 10, 0, 0, 2])
+    cs = ipv4_checksum(bytes(hdr))
+    hdr[10], hdr[11] = cs >> 8, cs & 0xFF
+    pkt = parse_ipv4(bytes(hdr) + udp)
+    assert pkt.application is not None
+    assert "CELLOCATOR COMMAND" in pkt.application.describe()
