@@ -134,11 +134,15 @@ class MpegLayer1Encoder:
         sf_idx = np.where(peaks >= _SCALEFACTORS[0], 0, sf_idx)
         for idx in sf_idx:
             bits += [(int(idx) >> b) & 1 for b in range(5, -1, -1)]
-        # samples: mid-rise uniform quantization to QUANT_BITS
+        # samples: quantize onto the ISO Layer-I requantization grid so a
+        # third-party decoder's s'' = (2^nb/(2^nb-1)) * (s''' + 2^(1-nb))
+        # (11172-3 2.4.3.3) reproduces the value exactly: grid points are
+        # s_c = (2c + 2 - 2^nb)/(2^nb - 1), c in [0, 2^nb - 1]
         levels = (1 << QUANT_BITS) - 1
         scaled = granules / _SCALEFACTORS[sf_idx][None, :]
-        codes = np.clip(((scaled + 1.0) * 0.5 * levels + 0.5).astype(int),
-                        0, levels)
+        codes = np.clip(np.round(scaled * levels * 0.5
+                                 + (1 << (QUANT_BITS - 1)) - 1
+                                 ).astype(int), 0, levels)
         for g in range(GRANULES):
             for sb in range(SUBBANDS):
                 c = int(codes[g, sb])

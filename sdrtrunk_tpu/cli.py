@@ -385,8 +385,28 @@ def cmd_waterfall(args) -> int:
 
 def cmd_bench(args) -> int:
     import bench
-    sys.argv = ["bench.py"] + (["--small"] if args.small else [])
+    flags = []
+    if args.small:
+        flags.append("--small")
+    if getattr(args, "trace", False):
+        # SURVEY.md section 5 tracing row: first-class jax.profiler
+        # trace output (open with tensorboard / xprof)
+        flags.append("--profile")
+    sys.argv = ["bench.py"] + flags
     bench.main()
+    return 0
+
+
+def cmd_import_playlist(args) -> int:
+    """Import a reference sdrtrunk playlist.xml (PlaylistV2) into the
+    native JSON config (playlist_import.py)."""
+    from .playlist_import import import_playlist_xml
+    playlist = import_playlist_xml(args.input)
+    playlist.save(args.output)
+    _emit({"imported": str(args.input), "saved": str(args.output),
+           "channels": len(playlist.channels),
+           "aliases": len(playlist.aliases),
+           "streams": len(playlist.streams)})
     return 0
 
 
@@ -457,7 +477,15 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--small", action="store_true")
+    p.add_argument("--trace", action="store_true",
+                   help="write a jax.profiler trace alongside the bench")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("import-playlist",
+                       help="import a reference sdrtrunk playlist.xml")
+    p.add_argument("input")
+    p.add_argument("output", help="native JSON playlist to write")
+    p.set_defaults(fn=cmd_import_playlist)
 
     args = parser.parse_args(argv)
     platform = args.platform
