@@ -589,6 +589,22 @@ def collective_accounting(msps_per_chip: float) -> dict:
     }
 
 
+def run_isolated(call: str, timeout: int = 1200) -> dict:
+    """Run one bench function in a fresh interpreter and return its
+    JSON result."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             f"import bench, json; print(json.dumps(bench.{call}))"],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        return json.loads(line)
+    except Exception as e:                      # noqa: BLE001 — bench aux
+        return {"error": str(e)[:200]}
+
+
 def measure_cross_process() -> dict:
     """Record the REAL 1->2 process scaling measurement in the bench
     output (VERDICT r3 weak #4: test_cross_process_efficiency's number
@@ -830,15 +846,15 @@ def main():
     if small:
         orchestrator_bank = orchestrator_bank_nbfm = {"skipped": "small"}
     else:
-        try:
-            orchestrator_bank = bench_orchestrator_bank(timed_chunks=6)
-        except Exception as e:                  # noqa: BLE001 — bench aux
-            orchestrator_bank = {"error": str(e)[:200]}
-        try:
-            orchestrator_bank_nbfm = bench_orchestrator_bank_nbfm(
-                timed_chunks=6)
-        except Exception as e:                  # noqa: BLE001 — bench aux
-            orchestrator_bank_nbfm = {"error": str(e)[:200]}
+        # fresh subprocess per bank bench: measured 0.94-1.06x realtime
+        # standalone but 0.66-0.73x when run late inside this process
+        # (jit caches + flagship heap + tunnel state) — the product
+        # ships as its own process, so the isolated figure is the
+        # honest one
+        orchestrator_bank = run_isolated(
+            "bench_orchestrator_bank(timed_chunks=6)")
+        orchestrator_bank_nbfm = run_isolated(
+            "bench_orchestrator_bank_nbfm(timed_chunks=6)")
     if small:
         protocols = pallas_cmp = {"skipped": "small"}
     else:
