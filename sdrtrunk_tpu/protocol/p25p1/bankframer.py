@@ -61,6 +61,12 @@ _FIXED_DUIDS = {d: MESSAGE_LENGTHS[d] // 2
                 for d in (DUID.HDU, DUID.TDU, DUID.LDU1, DUID.LDU2,
                           DUID.TDULC)}
 _FIXED_POS = {d: payload_dibit_positions(n) for d, n in _FIXED_DUIDS.items()}
+# per-duid-int walk tables (the claim walk runs per candidate in Python;
+# plain-int lookups keep it at a few microseconds per candidate)
+_FIXED_END = {int(d): (int(pos[-1]) + 1 if len(pos) else HEADER_DIBITS)
+              for d, pos in _FIXED_POS.items()}
+_KNOWN_DUIDS = {int(d) for d in MESSAGE_LENGTHS}
+_VARIABLE_DUIDS = {int(DUID.TSBK), int(DUID.PDU)}
 
 
 def _dibits_to_bits_2d(dib: np.ndarray) -> np.ndarray:
@@ -215,18 +221,35 @@ class P25P1BankFramer:
         nid_err = np.zeros(len(slots), np.int64)
         budget = self.max_hard_bch
 
-        # sort candidates by (slot, position) and walk, claiming spans
+        # sort candidates by (slot, position) and walk, claiming spans.
+        # The walk is per-candidate Python, so everything it touches is
+        # pre-converted to plain-int lists (np scalar indexing per
+        # iteration was a measured hot spot at 1000-channel scale).
         order = np.lexsort((wpos, slots))
+        slots_o = slots[order].tolist()
+        wpos_o = wpos[order].tolist()
+        abs_o = (wpos + abs0[slots])[order].tolist()
+        rot_o = rot[order].tolist()
+        err_o = (serr + nid_err)[order].tolist()
+        serr_o = serr[order].tolist()
+        clean_o = clean[order].tolist()
+        nac_o = nac[order].tolist()
+        duid_o = duid[order].tolist()
+        order_l = order.tolist()
+        valid_w_l = valid_w.tolist()
+        consumed = self.consumed
         groups: dict[DUID, list] = {d: [] for d in _FIXED_DUIDS}
         scalar_frames: list[tuple[int, P25P1Frame]] = []
-        for i in order:
-            s = int(slots[i])
-            p = int(wpos[i])
-            a = int(p + abs0[s])
-            if a < self.consumed[s]:
+        for j, i in enumerate(order_l):
+            s = slots_o[j]
+            p = wpos_o[j]
+            a = abs_o[j]
+            if a < consumed[s]:
                 continue                        # inside a claimed frame
-            if not clean[i]:
-                if serr[i] > self.hard_sync_gate:
+            d_int = duid_o[j]
+            bit_errors = err_o[j]
+            if not clean_o[j]:
+                if serr_o[j] > self.hard_sync_gate:
                     continue                    # shifted-sync image
                 if budget <= 0:
                     self.dropped_hard_bch += 1
@@ -235,31 +258,26 @@ class P25P1BankFramer:
                 data, nerr = _BCH.decode(bits[i, :63])
                 if nerr is None:
                     continue
-                nac[i] = int(data[:12] @ _POW12)
-                duid[i] = int(data[12:16] @ _POW4)
-                nid_err[i] = nerr
-            try:
-                d = DUID(int(duid[i]))
-            except ValueError:
-                continue
-            if d not in MESSAGE_LENGTHS:
-                continue
-            bit_errors = int(serr[i] + nid_err[i])
-            remap = _REMAPS[int(rot[i])]
-            rname = _ROT_NAMES[int(rot[i])]
-            if d in _FIXED_DUIDS:
-                pos = _FIXED_POS[d]
-                end = p + (int(pos[-1]) + 1 if len(pos) else HEADER_DIBITS)
-                if end > valid_w[s]:
+                nac_o[j] = int(data[:12] @ _POW12)
+                d_int = int(data[12:16] @ _POW4)
+                duid[i] = d_int
+                nac[i] = nac_o[j]
+                bit_errors = serr_o[j] + nerr
+            end_off = _FIXED_END.get(d_int)
+            if end_off is not None:
+                if p + end_off > valid_w_l[s]:
                     self._push_pending(s, a)
                     continue
-                groups[d].append((s, p, a, int(rot[i]), int(nac[i]),
-                                  bit_errors, rname))
-                self.consumed[s] = a + (end - p)
-            else:
+                groups[DUID(d_int)].append(
+                    (s, p, a, rot_o[j], nac_o[j], bit_errors,
+                     _ROT_NAMES[rot_o[j]]))
+                consumed[s] = a + end_off
+            elif d_int in _VARIABLE_DUIDS:
                 # TSBK/PDU: variable span, scalar assembly on this row
-                row = w[s, : valid_w[s]]
-                payload = (assemble_tsbk(row, p, remap) if d == DUID.TSBK
+                remap = _REMAPS[rot_o[j]]
+                row = w[s, : valid_w_l[s]]
+                payload = (assemble_tsbk(row, p, remap)
+                           if d_int == DUID.TSBK
                            else assemble_pdu(row, p, remap))
                 if payload is None:
                     self._push_pending(s, a)
@@ -267,10 +285,11 @@ class P25P1BankFramer:
                 n_dib = len(payload) // 2
                 span = (int(payload_dibit_positions(n_dib)[-1]) + 1
                         if n_dib else HEADER_DIBITS)
-                self.consumed[s] = a + span
+                consumed[s] = a + span
                 scalar_frames.append((s, P25P1Frame(
-                    nac=int(nac[i]), duid=d, payload=payload, start=a,
-                    bit_errors=bit_errors, rotation=rname)))
+                    nac=nac_o[j], duid=DUID(d_int), payload=payload,
+                    start=a, bit_errors=bit_errors,
+                    rotation=_ROT_NAMES[rot_o[j]])))
 
         # batched payload extraction + decode per fixed DUID
         for d, members in groups.items():

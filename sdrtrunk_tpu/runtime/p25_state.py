@@ -26,21 +26,28 @@ class P25P1DecoderState:
         self.traffic = traffic or TrafficChannelManager("APCO25")
         self.audio = audio
         self.current_call: DecodeEvent | None = None
+        self._last_nac: int | None = None
+        self._last_lc: tuple | None = None
+        self._idents_dirty = True
+
+    _HANDLERS = {
+        DUID.TSBK: "_tsbk",
+        DUID.HDU: "_hdu",
+        DUID.LDU1: "_ldu1",
+        DUID.LDU2: "_ldu2",
+        DUID.TDU: "_terminator",
+        DUID.TDULC: "_terminator",
+    }
 
     def receive(self, message: P25P1Message, now: float) -> None:
         if not message.valid:
             return
-        self.identifiers.update(Identifier.nac(message.nac))
-        handler = {
-            DUID.TSBK: self._tsbk,
-            DUID.HDU: self._hdu,
-            DUID.LDU1: self._ldu1,
-            DUID.LDU2: self._ldu2,
-            DUID.TDU: self._terminator,
-            DUID.TDULC: self._terminator,
-        }.get(message.duid)
+        if message.nac != self._last_nac:
+            self.identifiers.update(Identifier.nac(message.nac))
+            self._last_nac = message.nac
+        handler = self._HANDLERS.get(message.duid)
         if handler is not None:
-            handler(message, now)
+            getattr(self, handler)(message, now)
         self.state_machine.check(now)
 
     # --- handlers ---
@@ -106,18 +113,27 @@ class P25P1DecoderState:
 
     def _ldu1(self, message: P25P1Message, now: float) -> None:
         lc = message.content.link_control
+        lc_changed = False
         if lc is not None and lc.fields:
-            if "group_address" in lc.fields:
-                self.identifiers.update(Identifier.talkgroup(
-                    lc.fields["group_address"], IdentifierRole.TO, "APCO25"))
-            if "source_address" in lc.fields:
-                self.identifiers.update(Identifier.radio(
-                    lc.fields["source_address"], IdentifierRole.FROM,
-                    "APCO25"))
+            key = (lc.fields.get("group_address"),
+                   lc.fields.get("source_address"))
+            if key != self._last_lc:       # identifier churn only on change
+                self._last_lc = key
+                lc_changed = True
+                self._idents_dirty = True
+                if key[0] is not None:
+                    self.identifiers.update(Identifier.talkgroup(
+                        key[0], IdentifierRole.TO, "APCO25"))
+                if key[1] is not None:
+                    self.identifiers.update(Identifier.radio(
+                        key[1], IdentifierRole.FROM, "APCO25"))
         self.state_machine.set_state(ChannelState.CALL, now)
+        started = self.current_call is None
         self._start_call(now)
         if self.current_call is not None:
-            self.current_call.identifiers.update_all(self.identifiers.all())
+            if started or lc_changed:
+                self.current_call.identifiers.update_all(
+                    self.identifiers.all())
             self.current_call.update(now)
         self._voice(message, now)
 
@@ -136,8 +152,13 @@ class P25P1DecoderState:
             return
         frames = getattr(message.content, "voice_frames", None)
         if frames is not None:
-            self.audio.receive_frames(frames, now,
-                                      identifiers=self.identifiers.all())
+            # identifier attach only when the segment is fresh (segment
+            # identifier merges are per-call metadata, not per-LDU work)
+            idents = None
+            if self.audio.segment is None or self._idents_dirty:
+                idents = self.identifiers.all()
+                self._idents_dirty = False
+            self.audio.receive_frames(frames, now, identifiers=idents)
 
     def _terminator(self, message: P25P1Message, now: float) -> None:
         if self.current_call is not None:
