@@ -172,3 +172,84 @@ def test_mix_three_protocols_concurrent(mix_run):
         if getattr(s.processor, "frame_count", 0) > 0:
             kinds_with_output.add(s.kind)
     assert {"c4fm", "dmr", "ltr"} <= kinds_with_output
+
+
+def test_mpt1327_live_trunking():
+    """MPT1327 control slot drives live trunking: AFSK GTC codewords on
+    the control channel grant an analog voice channel through the
+    channel map; the orchestrator activates a slot there mid-run and
+    assembles its FM voice (MPT1327TrafficChannelManager.java role)."""
+    from sdrtrunk_tpu.protocol import bits as B
+    from sdrtrunk_tpu.protocol.mpt1327 import (SYNC_CONTROL,
+                                               mpt_encode_codeword)
+    from sdrtrunk_tpu.runtime.traffic import FrequencyBand
+    from test_mpt1327 import _afsk_modulate, _gtc_data
+
+    fs = 64 * 12500.0
+    center = 460_000_000.0
+    base = 459_000_000.0
+    channel = 77                       # -> 459.9625 MHz = center - 37.5k
+    granted_off = base + channel * 12500.0 - center
+    control_off = 25_000.0
+    dur = 2.2
+    n = int(fs * dur) // (64 * 125) * (64 * 125)
+    t = np.arange(n) / fs
+
+    gtc = np.concatenate([SYNC_CONTROL,
+                          mpt_encode_codeword(_gtc_data(channel=channel))])
+    bits8 = np.tile(np.concatenate(
+        [np.random.default_rng(0).integers(0, 2, 24).astype(np.uint8),
+         gtc]), 40)
+    ctrl_audio = _afsk_modulate(bits8)
+    need = int(n / fs * 8000.0) + 100
+    ctrl_audio = np.tile(ctrl_audio, need // len(ctrl_audio) + 1)[:need]
+    ctrl_iq = generators.nbfm_modulate(ctrl_audio, 8000.0, fs)[:n]
+
+    voice = 0.6 * np.sin(2 * np.pi * 800.0 * np.arange(need) / 8000.0)
+    voice_iq = generators.nbfm_modulate(voice, 8000.0, fs)[:n]
+
+    wide = (ctrl_iq * np.exp(2j * np.pi * control_off * t)
+            + voice_iq * np.exp(2j * np.pi * granted_off * t)
+            ).astype(np.complex64)
+
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        chunk = wide[pos:pos + num]
+        pos += num
+        return chunk if len(chunk) else None
+
+    orch = Orchestrator(
+        source, fs, center, [control_off],
+        banks=[("mpt1327", 3)], idle_teardown_seconds=5.0,
+        ppm_correction=False,
+        channel_map=FrequencyBand(identifier=0, base_frequency_hz=base,
+                                  channel_spacing_hz=12500.0))
+    orch.run()
+    for slot in orch.slots:
+        if slot.active:
+            orch._slot_flush_drain(slot)
+
+    from sdrtrunk_tpu.protocol.mpt1327 import MPT1327MessageType
+    ctrl = orch.slots[0]
+    gtcs = [m for m in ctrl.processor.messages
+            if m.message_type == MPT1327MessageType.GTC]
+    assert gtcs and gtcs[0].fields["channel"] == channel
+    freq = center + granted_off
+    assert [e for e in orch.traffic.events
+            if e.frequency_hz == pytest.approx(freq)]
+    granted = [s for s in orch.slots
+               if not s.is_control and s.frequency_hz == freq]
+    assert granted and granted[0].active
+    segs = [s for s in orch.audio_segments if s.duration > 0.3]
+    assert segs, "granted channel's FM voice must become an AudioSegment"
+    # one segment is the control slot's own AFSK audio; the granted
+    # channel's 800 Hz voice must be among them
+    peaks = []
+    for seg in segs:
+        pcm = seg.samples
+        spec = np.abs(np.fft.rfft(pcm[400:]))
+        peaks.append(float(np.fft.rfftfreq(
+            len(pcm) - 400, 1 / 8000.0)[int(np.argmax(spec))]))
+    assert any(700.0 < p < 900.0 for p in peaks), peaks
