@@ -356,14 +356,19 @@ class Orchestrator:
                 if "pll_freq" in out:
                     out2["pll_freq"] = out["pll_freq"]
             elif bank_analog:
-                # analog bank: int16 PCM + packed gate bits in one flat
-                # uint8 transfer (float audio at 1023 slots would be
-                # 27 MB/chunk over the ~50 MB/s tunnel)
-                pcm = jnp.clip(out["audio"] * 32767.0, -32767.0, 32767.0
-                               ).astype(jnp.int16)
-                c_, ka = pcm.shape
-                pcm8 = jax.lax.bitcast_convert_type(
-                    pcm, jnp.uint8).reshape(-1)
+                # analog bank: mu-law-companded 8-bit PCM + packed gate
+                # bits in one flat uint8 transfer (float audio at 1023
+                # slots would be 27 MB/chunk over the ~50 MB/s tunnel;
+                # int16 still cost 13 MB — 8-bit log companding keeps
+                # ~35 dB SNR, plenty above the FM voice floor, at half
+                # the bytes)
+                a = jnp.clip(out["audio"], -1.0, 1.0)
+                comp = jnp.log1p(255.0 * jnp.abs(a)) * (1.0 / np.log(256.0))
+                level = jnp.clip((comp * 127.0 + 0.5).astype(jnp.int32),
+                                 0, 127)
+                pcm8 = (jnp.where(a < 0, 128, 0) + level
+                        ).astype(jnp.uint8)
+                c_, ka = pcm8.shape
                 gate = out["audio_gate"] > 0
                 pad = (-ka) % 8
                 g = jnp.pad(gate, ((0, 0), (0, pad))).reshape(
@@ -371,7 +376,7 @@ class Orchestrator:
                 g8 = (g * jnp.array([128, 64, 32, 16, 8, 4, 2, 1],
                                     jnp.int32)).sum(-1).astype(jnp.uint8)
                 out2 = {"packed_audio": jnp.concatenate(
-                    [pcm8, g8.reshape(-1)])}
+                    [pcm8.reshape(-1), g8.reshape(-1)])}
             else:
                 out2 = {"audio": out["audio"].astype(jnp.float32),
                         "audio_gate": out["audio_gate"].astype(jnp.int8)}
@@ -681,14 +686,25 @@ class Orchestrator:
         pll_raw = float(buf[-4:].view(np.float32)[0])
         return dib4, hits, counts, pll_raw
 
+    # mu-law expansion LUT for the analog bank transfer (inverse of the
+    # device-side log companding; 256 entries)
+    _MULAW_LUT = None
+
+    @classmethod
+    def _mulaw_lut(cls) -> np.ndarray:
+        if cls._MULAW_LUT is None:
+            level = np.arange(128, dtype=np.float32)
+            mag = (np.power(256.0, level / 127.0) - 1.0) / 255.0
+            cls._MULAW_LUT = np.concatenate([mag, -mag]).astype(np.float32)
+        return cls._MULAW_LUT
+
     def _split_packed_audio(self, buf: np.ndarray):
-        """Parse the analog bank transfer (int16 PCM | packed gate)."""
+        """Parse the analog bank transfer (mu-law PCM | packed gate)."""
         c = len(self.slots)
         ka = self._bank_ka
-        audio = (buf[: c * ka * 2].view(np.int16).reshape(c, ka)
-                 .astype(np.float32) * (1.0 / 32767.0))
+        audio = self._mulaw_lut()[buf[: c * ka]].reshape(c, ka)
         nb = (ka + 7) // 8
-        gate = np.unpackbits(buf[c * ka * 2:].reshape(c, nb),
+        gate = np.unpackbits(buf[c * ka:].reshape(c, nb),
                              axis=1)[:, :ka].astype(bool)
         return audio, gate
 
