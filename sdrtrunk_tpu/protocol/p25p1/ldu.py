@@ -155,6 +155,23 @@ def ldu2_encode(mi_bits72: np.ndarray, algorithm_id: int, key_id: int,
                                lsd)
 
 
+_LC_CACHE: dict[bytes, object] = {}
+
+
+def _lc_cached(cw12: np.ndarray):
+    """lc_parse with memoization: the SAME link control repeats on every
+    LDU1 of a call, so at 1000-channel scale re-parsing it per frame is
+    pure overhead. Keyed by the 12 corrected hexbits."""
+    key = cw12.tobytes()
+    lc = _LC_CACHE.get(key)
+    if lc is None:
+        if len(_LC_CACHE) > 4096:
+            _LC_CACHE.clear()
+        lc = lc_parse(_hex_to_bits(cw12))
+        _LC_CACHE[key] = lc
+    return lc
+
+
 def ldu1_decode_batch(payloads: np.ndarray) -> list[LDU1]:
     """Vectorized ldu1_decode over (N, 1568) payloads — the bank framer's
     hot path at 1000-channel scale. RS error correction falls back to the
@@ -176,7 +193,7 @@ def ldu1_decode_batch(payloads: np.ndarray) -> list[LDU1]:
         corrected = int(ham[i])
         if rs_err is not None:
             corrected += rs_err
-            lc = lc_parse(_hex_to_bits(cw[:12]))
+            lc = _lc_cached(cw[:12])
         out.append(LDU1(link_control=lc, voice_frames=voice[i],
                         lsd=p[i, 1392:1424], corrected=corrected))
     return out
