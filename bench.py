@@ -879,10 +879,13 @@ def main():
     nbfm, rx = bench_receiver("nbfm", m, blocks, iters, "audio",
                               profile_dir)
     c4fm, _ = bench_receiver("c4fm", m, c4fm_blocks, iters, "power_db")
-    try:
-        orchestrator = bench_orchestrator()
-    except Exception as e:                      # noqa: BLE001 — bench aux
-        orchestrator = {"error": str(e)[:200]}
+    if small:
+        try:
+            orchestrator = bench_orchestrator()
+        except Exception as e:                  # noqa: BLE001 — bench aux
+            orchestrator = {"error": str(e)[:200]}
+    else:
+        orchestrator = run_isolated("bench_orchestrator()")
     if small:
         orchestrator_bank = orchestrator_bank_nbfm = {"skipped": "small"}
     else:
