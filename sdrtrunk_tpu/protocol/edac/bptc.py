@@ -63,24 +63,23 @@ def bptc_196_96_decode(bits: np.ndarray, max_iters: int = 3):
     mat = m[1:].reshape(13, 15)
     corrected = 0
     for _ in range(max_iters):
-        changed = False
-        clean = True
-        for r in range(13):
-            word, nerr = HAMMING_15_11_3.decode(mat[r])
-            if nerr is None:
-                clean = False
-            elif nerr:
-                mat[r] = word
-                corrected += nerr
-                changed = True
-        for c in range(15):
-            word, nerr = HAMMING_13_9_3.decode(mat[:, c])
-            if nerr is None:
-                clean = False
-            elif nerr:
-                mat[:, c] = word
-                corrected += nerr
-                changed = True
+        # one batched Hamming pass over all 13 rows / 15 columns (the
+        # scalar per-row loop dominated DMR bank framing; decode_batch
+        # reports nerr -1 where uncorrectable)
+        rows, r_err = HAMMING_15_11_3.decode_batch(mat)
+        r_fix = r_err > 0
+        clean = not np.any(r_err < 0)
+        changed = bool(np.any(r_fix))
+        mat[r_fix] = rows[r_fix]
+        corrected += int(r_err[r_fix].sum())
+
+        cols, c_err = HAMMING_13_9_3.decode_batch(mat.T)
+        c_fix = c_err > 0
+        clean = clean and not np.any(c_err < 0)
+        changed = changed or bool(np.any(c_fix))
+        mat.T[c_fix] = cols[c_fix]
+        corrected += int(c_err[c_fix].sum())
+
         if clean and not changed:
             break
         if not changed and not clean:

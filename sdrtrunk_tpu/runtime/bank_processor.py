@@ -191,3 +191,85 @@ class AnalogBankProcessor:
     @property
     def states(self):           # orchestrator event-logger hook parity
         return self.modules
+
+
+class DMRBankProcessor:
+    """All DMR slots of a live receiver: DMRBankFramer + per-slot
+    two-timeslot decoder states + AMBE audio (the DMR sibling of
+    P25P1BankProcessor; module list of DecoderFactory.java:345-392 at
+    bank scale)."""
+
+    protocol = "DMR"
+
+    def __init__(self, channels: int, control_slots: set[int],
+                 traffic: TrafficChannelManager | None = None,
+                 codec: MBECodec | None = None, retain: int = 1024):
+        from ..protocol.dmr.bankframer import DMRBankFramer
+        from .dmr_state import DMRDecoderState
+        self.c = channels
+        self.control_slots = set(control_slots)
+        self.traffic = traffic
+        self.codec = codec
+        self._state_cls = DMRDecoderState
+        self.framer = DMRBankFramer(channels, retain=retain)
+        self.states: list = [None] * channels
+        self.metrics = [ChannelMetrics() for _ in range(channels)]
+        self.frame_counts = np.zeros(channels, np.int64)
+        for s in self.control_slots:
+            self.reset_slot(s)
+
+    def reset_slot(self, slot: int,
+                   preload: IdentifierCollection | None = None) -> None:
+        state = self._state_cls(
+            traffic=self.traffic if slot in self.control_slots else None,
+            codec=self.codec)
+        if preload is not None:
+            for ts in state.slots.values():
+                ts.identifiers.update_all(preload.all())
+        self.states[slot] = state
+        self.frame_counts[slot] = 0
+
+    def frame_chunk(self, dib4: np.ndarray, counts: np.ndarray,
+                    hits: np.ndarray) -> list:
+        dib = unpack_dibits(np.asarray(dib4))
+        hitmask = unpack_hits(np.asarray(hits))[:, : dib.shape[1]]
+        return self.framer.process(dib, counts, device_hits=hitmask)
+
+    def route(self, msgs: list, counts: np.ndarray, active: np.ndarray,
+              now: float) -> np.ndarray:
+        frames = np.zeros(self.c, np.int64)
+        for slot, burst in msgs:
+            if not active[slot] or self.states[slot] is None:
+                continue
+            frames[slot] += 1
+            self.metrics[slot].message(True)
+            self.states[slot].receive(burst, now)
+        for s in np.nonzero(active)[0]:
+            self.metrics[s].update(int(counts[s]), range(int(frames[s])))
+        self.frame_counts += frames
+        return frames
+
+    def process_bank(self, dib4, counts, hits, active, now):
+        return self.route(self.frame_chunk(dib4, counts, hits),
+                          counts, active, now)
+
+    def drain_audio(self, slot: int) -> list:
+        state = self.states[slot]
+        return state.drain_audio() if state is not None else []
+
+    def flush(self, slot: int, now: float) -> None:
+        state = self.states[slot]
+        if state is None:
+            return
+        for ts in state.slots.values():
+            if ts.audio.segment is not None:
+                ts.audio.end_call(now)
+
+    def channel_state(self, slot: int):
+        from .state import ChannelState
+        state = self.states[slot]
+        if state is None:
+            return None
+        sts = [s.machine.state for s in state.slots.values()]
+        return (ChannelState.CONTROL if ChannelState.CONTROL in sts
+                else sts[0])

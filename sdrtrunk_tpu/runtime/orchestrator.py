@@ -145,10 +145,10 @@ class Orchestrator:
         # streams and the host runs one P25P1BankFramer over the whole
         # bank (runtime/bank_processor.py). Same product surface
         # (events, audio, traffic following) — different scaling tier.
+        _BANK_KINDS = ("c4fm", "p25p1", "dmr", "nbfm", "am")
         if bank_mode is None:
-            bank_mode = decoder in ("c4fm", "p25p1", "nbfm", "am") \
-                and slots >= 32
-        if bank_mode and decoder not in ("c4fm", "p25p1", "nbfm", "am"):
+            bank_mode = decoder in _BANK_KINDS and slots >= 32
+        if bank_mode and decoder not in _BANK_KINDS:
             raise ValueError(f"bank_mode not supported for {decoder!r}")
         self.bank_mode = bank_mode
         self.bank_analog = bank_mode and decoder in ("nbfm", "am")
@@ -207,8 +207,11 @@ class Orchestrator:
             from .bank_processor import AnalogBankProcessor
             self.bank_proc = AnalogBankProcessor(slots)
         elif self.bank_mode:
-            from .bank_processor import P25P1BankProcessor
-            self.bank_proc = P25P1BankProcessor(
+            from .bank_processor import (DMRBankProcessor,
+                                         P25P1BankProcessor)
+            cls = (DMRBankProcessor if decoder == "dmr"
+                   else P25P1BankProcessor)
+            self.bank_proc = cls(
                 slots, control_slots=set(range(len(control_offsets_hz))),
                 traffic=self.traffic, codec=self.codec)
         for i, off in enumerate(control_offsets_hz):
@@ -285,19 +288,30 @@ class Orchestrator:
                     ).sum(-1).astype(jnp.uint8)
             # XOR-popcount sync correlation over the compact stream:
             # 24 shifted fused adds per bit plane per pattern (a
-            # lax.conv with 2 channels lowers ~10x slower on TPU)
-            from ..protocol.p25p1.bankframer import SYNC_DIBIT_PATTERNS
+            # lax.conv with 2 channels lowers ~10x slower on TPU).
+            # Pattern set + threshold follow the protocol: P25's 4
+            # rotation images at <=9 bit errors, DMR's 7 patterns at
+            # <=4 (DMRSyncDetector threshold)
+            if self.decoder_name == "dmr":
+                from ..protocol.dmr.bankframer import (
+                    DMR_SYNC_DIBIT_PATTERNS as _PATS)
+                from ..protocol.dmr.framer import MAX_SYNC_BIT_ERRORS \
+                    as _THR
+            else:
+                from ..protocol.p25p1.bankframer import (
+                    SYNC_DIBIT_PATTERNS as _PATS)
+                _THR = 9
             hi = (sdib >> 1).astype(jnp.int32)
             lo = (sdib & 1).astype(jnp.int32)
             lags = bank_cap - 23
             best = jnp.full((c, lags), 96, jnp.int32)
-            for pat in np.asarray(SYNC_DIBIT_PATTERNS):
+            for pat in np.asarray(_PATS):
                 err = jnp.zeros((c, lags), jnp.int32)
                 for j in range(24):
                     err = (err + (hi[:, j:j + lags] != int(pat[j] >> 1))
                            + (lo[:, j:j + lags] != int(pat[j] & 1)))
                 best = jnp.minimum(best, err)
-            hits = jnp.pad(best <= 9, ((0, 0), (0, 23)))
+            hits = jnp.pad(best <= _THR, ((0, 0), (0, 23)))
             h8 = hits.reshape(c, bank_cap // 8, 8).astype(jnp.int32)
             hbits = (h8 * jnp.array([128, 64, 32, 16, 8, 4, 2, 1],
                                     jnp.int32)).sum(-1).astype(jnp.uint8)

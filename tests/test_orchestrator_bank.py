@@ -146,3 +146,81 @@ def test_analog_bank_audio_segments():
     spec = np.abs(np.fft.rfft(pcm[800:]))
     peak = np.fft.rfftfreq(len(pcm) - 800, 1 / 8000.0)[int(np.argmax(spec))]
     assert 350.0 < peak < 950.0
+
+
+def test_dmr_bank_grant_voice_teardown():
+    """DMR bank mode end to end: TSCC CSBK grants on the control slot
+    activate a traffic slot whose AMBE voice superframe becomes an
+    AudioSegment — the DMR leg of the 1000-channel tier at CPU test
+    scale (bank framer + DMRBankProcessor instead of per-slot
+    framers)."""
+    from sdrtrunk_tpu.protocol.bits import from_int
+    from sdrtrunk_tpu.protocol.dmr.csbk import csbk_encode
+    from sdrtrunk_tpu.protocol.dmr.framer import (DataType,
+                                                  DMRBurstAssembler)
+    from sdrtrunk_tpu.protocol.dmr.sync import DMRSyncPattern
+    from sdrtrunk_tpu.runtime.traffic import FrequencyBand
+    from test_multibank import _dmr_voice_stream, DMR_GROUP
+
+    fs = to.FS
+    total_dibits = int(2.6 * to.BAUD)
+    rng = np.random.default_rng(31)
+    asm = DMRBurstAssembler(color_code=1)
+    grant_bits = np.zeros(64, np.uint8)
+    grant_bits[0:12] = from_int(to.CHAN_NUM, 12)     # Tier III channel
+    grant_bits[16:40] = from_int(DMR_GROUP, 24)
+    grant_bits[40:64] = from_int(0x12345, 24)
+    grant = asm.data_burst(DMRSyncPattern.BASE_STATION_DATA,
+                           DataType.CSBK, csbk_encode(0x31, grant_bits))
+    aloha = asm.data_burst(DMRSyncPattern.BASE_STATION_DATA,
+                           DataType.CSBK,
+                           csbk_encode(0x19, np.zeros(64, np.uint8)))
+    parts = [rng.integers(0, 4, 140).astype(np.uint8),
+             DMRBurstAssembler.to_dibits([aloha])]
+    for _ in range(8):
+        parts += [DMRBurstAssembler.to_dibits([grant]),
+                  rng.integers(0, 4, 500).astype(np.uint8)]
+    control = to._pad_to(np.concatenate(parts), total_dibits, rng)
+
+    traffic_stream = _dmr_voice_stream(total_dibits)
+    n = None
+    wide = None
+    for off, dibits in ((to.CONTROL_OFF, control),
+                        (to.TRAFFIC_OFF, traffic_stream)):
+        iq = generators.c4fm_modulate(dibits, fs)
+        if wide is None:
+            n = len(iq) // (64 * 256) * (64 * 256)
+            wide = np.zeros(n, np.complex64)
+        t = np.arange(n) / fs
+        wide += (iq[:n] * np.exp(2j * np.pi * off * t)
+                 ).astype(np.complex64)
+
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        chunk = wide[pos:pos + num]
+        pos += num
+        return chunk if len(chunk) else None
+
+    orch = Orchestrator(source, fs, to.CENTER_HZ, [to.CONTROL_OFF],
+                        slots=4, decoder="dmr",
+                        chunk_samples=64 * 256,
+                        idle_teardown_seconds=0.8, bank_mode=True)
+    orch.traffic.update_band(FrequencyBand(
+        identifier=0, base_frequency_hz=to.BASE_HZ,
+        channel_spacing_hz=12500.0))
+    orch.run()
+    for slot in orch.slots:
+        if slot.active:
+            orch._slot_flush_drain(slot)
+
+    freq = to.BASE_HZ + to.CHAN_NUM * 12500.0
+    assert [e for e in orch.traffic.events
+            if e.frequency_hz == pytest.approx(freq)]
+    status = orch.channel_status()
+    traffic = [s for s in status
+               if not s["control"] and s["frequency_hz"] == freq]
+    assert traffic and traffic[0]["frames"] >= 6
+    segs = [s for s in orch.audio_segments if s.duration > 0]
+    assert segs, "DMR AMBE voice must become an AudioSegment"
