@@ -63,8 +63,7 @@ class CACH:
     def decode(raw24: np.ndarray) -> "CACH":
         d = cach_deinterleave(raw24)
         tact = d[:7].astype(np.uint8)
-        _, nerr = _TACT_CODE.decode(tact)
-        corrected = _TACT_CODE.decode(tact)[0]
+        corrected, nerr = _TACT_CODE.decode(tact)
         return CACH(
             busy=bool(corrected[0]),
             timeslot=2 if corrected[1] else 1,
