@@ -61,7 +61,10 @@ class DMRBankFramer:
         # per-slot voice superframe continuation: next expected
         # continuation burst (abs dibit start, index into B..F order)
         self.voice_next: dict[int, tuple[int, int]] = {}
-        self.pending: list[tuple[int, int, int]] = []  # (slot, abs, pat)
+        # (slot, abs, pattern, sync_errs) — sync error measured at
+        # detection time rides along so a boundary-crossing burst
+        # reinjected next chunk reports its true error count
+        self.pending: list[tuple[int, int, int, int]] = []
         self._helper = DMRFramer(max_sync_errors)
 
     def _sync_errs(self, w: np.ndarray, lags: np.ndarray) -> tuple:
@@ -140,8 +143,8 @@ class DMRBankFramer:
             per_slot.setdefault(s, []).append(
                 (int(wpos[j]) - SYNC_OFFSET_DIBITS + int(abs0[s]),
                  int(which[j]), int(serr[j])))
-        for s, a, p in pend:
-            per_slot.setdefault(s, []).append((a, p, 0))
+        for s, a, p, e in pend:
+            per_slot.setdefault(s, []).append((a, p, e))
 
         # per-slot positional walk merging sync-anchored bursts with
         # pending voice superframe continuations — events must be
@@ -196,7 +199,7 @@ class DMRBankFramer:
             if vn is not None:
                 self.voice_next[s] = vn
             for a, p_idx, err in items[i:]:     # incomplete tail bursts
-                self.pending.append((s, a, p_idx))
+                self.pending.append((s, a, p_idx, err))
 
         # advance rolling windows
         idx = (valid_w - retain)[:, None] + np.arange(retain)

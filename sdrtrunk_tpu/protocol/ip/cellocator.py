@@ -143,16 +143,22 @@ def parse_cellocator(data: bytes) -> MCGPPacket | None:
             software_version=p[8],
             transmission_reason=p[13],
             mode_of_operation=p[14],
-            io_status=_u32(p, 15),
+            # io_status / mileage / utc year are read in wire bit order
+            # (big-endian) by the reference — only lat/lon/alt/speed/
+            # heading get byte-reversed (LocationStatusMessage.java:
+            # getInt(UNIT_IO_STATUS/MILEAGE_COUNTER/UTC_TIME_YEAR) with
+            # no reversal)
+            io_status=struct.unpack_from(">I", p, 15)[0],
             analog_inputs=(p[20], p[21], p[22], p[23]),
-            mileage=p[24] | (p[25] << 8) | (p[26] << 16),
+            mileage=(p[24] << 16) | (p[25] << 8) | p[26],
             satellites=p[38],
             longitude=math.degrees(_i32(p, 39) / 1e8),
             latitude=math.degrees(_i32(p, 43) / 1e8),
             altitude_m=_i32(p, 47) / 1e2,
             speed_kph=_i32(p, 51) / 1e5 * 3600.0,
             heading_deg=math.degrees(_u16(p, 55) / 1e3),
-            utc=(_u16(p, 62), p[61], p[60], p[59], p[58], p[57]),
+            utc=((p[62] << 8) | p[63], p[61], p[60], p[59], p[58],
+                 p[57]),
         )
         return MCGPPacket(mtype, unit_id=content.unit_id,
                           content=content)

@@ -85,6 +85,21 @@ class P25P1BankFramer:
     retain: symbols of history kept per slot (must cover the longest
     frame the bank path assembles: an LDU spans 890 transmitted dibits;
     PDUs up to ~(retain+cap-890)/103 blocks assemble before expiry).
+
+    Noisy-stream divergence from the per-slot tier (deliberate, bounded):
+    the per-slot P25P1Framer attempts error-correcting BCH NID decode
+    for every candidate up to max_sync_errors (9) sync bit errors; the
+    bank tier only attempts it when the sync matched within
+    hard_sync_gate (6) bits — candidates at 7..9 sync errors with an
+    unclean NID are discarded (on clean streams those are exclusively
+    the +-1-dibit shifted images of real syncs, whose doomed ~1.2 ms
+    decodes dominated the walk). Hard decodes beyond the per-chunk
+    max_hard_bch budget are DEFERRED to the next chunk's fresh budget
+    (pending list) rather than dropped; only candidates whose start
+    then slides out of the retain window are lost, counted in
+    deferred_hard_bch/expired_pending. Byte-identity with the per-slot
+    framer therefore holds exactly on streams whose sync errors stay
+    <= hard_sync_gate (asserted in tests/test_bankframer.py).
     """
 
     def __init__(self, channels: int, retain: int = 2048,
@@ -106,8 +121,10 @@ class P25P1BankFramer:
         self.total = np.zeros(channels, np.int64)      # symbols consumed
         self.consumed = np.full(channels, -1 << 60, np.int64)
         self.pending: list[tuple[int, int]] = []       # (slot, abs_pos)
-        self.dropped_hard_bch = 0                      # metric: NID decodes
-        #  skipped because the per-chunk hard-decision budget ran out
+        self.deferred_hard_bch = 0   # metric: hard NID decodes pushed to
+        #  the next chunk because the per-chunk budget ran out
+        self.expired_pending = 0     # metric: pending candidates lost
+        #  because their start slid out of the retain window
 
     # -- host-side sync correlation (CPU fallback / boundary lags) -----
 
@@ -176,6 +193,7 @@ class P25P1BankFramer:
             p_abs = np.array([p[1] for p in self.pending])
             p_pos = p_abs - abs0[p_slots]
             keep = p_pos >= 0
+            self.expired_pending += int((~keep).sum())
             cand_slot.append(p_slots[keep])
             cand_pos.append(p_pos[keep])
         self.pending = []
@@ -252,7 +270,11 @@ class P25P1BankFramer:
                 if serr_o[j] > self.hard_sync_gate:
                     continue                    # shifted-sync image
                 if budget <= 0:
-                    self.dropped_hard_bch += 1
+                    # defer to next chunk's fresh budget instead of
+                    # dropping — the retain window keeps the frame
+                    # assemblable for several chunks
+                    self.deferred_hard_bch += 1
+                    self._push_pending(s, a)
                     continue
                 budget -= 1
                 data, nerr = _BCH.decode(bits[i, :63])

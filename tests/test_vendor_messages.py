@@ -291,7 +291,8 @@ def test_cellocator_location_status():
     struct.pack_into("<i", p, 51, 2500)              # 2500 cm/s = 90 kph
     struct.pack_into("<H", p, 55, 1571)              # ~pi/2 -> 90 deg
     p[57], p[58], p[59], p[60], p[61] = 30, 15, 12, 21, 8
-    struct.pack_into("<H", p, 62, 2026)
+    struct.pack_into(">H", p, 62, 2026)   # wire bit order (BE), like
+    # the reference's UTC_TIME_YEAR read (LocationStatusMessage.java:210)
     msg = b"MCGP" + bytes([0]) + bytes(p)
     assert len(msg) == 70
     pkt = parse_cellocator(msg)
