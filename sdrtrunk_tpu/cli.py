@@ -397,6 +397,87 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_monitor(args) -> int:
+    """Run the LIVE Orchestrator over a playlist: every enabled channel
+    is pinned, trunked control channels follow traffic grants into free
+    slots, decode events + metrics stream as JSONL, and completed call
+    audio lands as WAV+metadata as calls end. The reference's headless
+    live application (gui/SDRTrunk.java:141,281-300) as one command."""
+    from .config import Playlist
+    from .monitor import MonitorSession
+
+    playlist = Playlist.load(args.playlist)
+
+    if args.input:
+        from .sources.recording import RecordingTuner
+        center = args.center_frequency
+        if center is None:
+            raise SystemExit("monitor --input needs --center-frequency "
+                             "(the RF frequency at capture center)")
+        tuner = RecordingTuner(args.input, center_frequency=center,
+                               loop=args.loop)
+        source_read = tuner._read_chunk
+        sample_rate = tuner.sample_rate
+    elif args.source == "test":
+        from .sources.test_tuner import TestTuner
+        tuner = TestTuner(sample_rate=args.sample_rate or 12_800_000.0)
+        center = args.center_frequency or tuner.frequency
+        tuner.frequency = center
+        source_read = tuner._read_chunk
+        sample_rate = tuner.sample_rate
+    else:
+        # hardware: first discovered RTL dongle over libusb (the only
+        # tuner family with a live bulk-streaming path wired up;
+        # TunerManager.java discovery -> RTL2832TunerController)
+        from .sources.libusb import (LibUsbTransport, available,
+                                     discover_tuners)
+        found = discover_tuners() if available() else []
+        rtl = next((t for t in found if t["kind"] == "rtl2832"), None)
+        if rtl is None:
+            names = ", ".join(t["label"] for t in found) or "none"
+            raise SystemExit(
+                f"no RTL dongle found (devices: {names}); use --input "
+                "for file replay or --source test")
+        from .sources.rtl_live import RtlLiveTuner
+        dev = rtl["device"]
+        transport = LibUsbTransport(dev.vendor_id, dev.product_id)
+        center = args.center_frequency
+        if center is None:
+            raise SystemExit("live RTL monitoring needs "
+                             "--center-frequency")
+        tuner = RtlLiveTuner(
+            transport, sample_rate=int(args.sample_rate or 2_400_000),
+            frequency=center)
+        source_read = tuner._read_chunk
+        sample_rate = tuner.sample_rate
+
+    session = MonitorSession(
+        playlist, source_read, sample_rate, center,
+        emit=(None if args.quiet else
+              (lambda line: print(line, flush=True))),
+        audio_dir=args.audio_dir, event_log_path=args.event_log,
+        traffic_slots=args.traffic_slots,
+        bank_mode=(True if args.bank else None),
+        chunk_samples=args.chunk_samples)
+    session.wire_sigint()
+    if hasattr(tuner, "add_listener"):
+        tuner.add_listener(session.orch.on_source_event)
+    _emit({"monitor": True, "sample_rate": sample_rate,
+           "center_frequency_hz": center,
+           "decoder_kinds": session.plan["kinds"],
+           "slots": session.plan["slots"],
+           "bank_mode": session.orch.bank_mode,
+           "channels": [{"name": n, "offset_hz": off, "kind": k}
+                        for off, k, n in session.plan["controls"]]})
+    max_chunks = args.max_chunks
+    if args.duration:
+        per = session.orch.chunk_samples / sample_rate
+        max_chunks = max(1, int(round(args.duration / per)))
+    summary = session.run(max_chunks=max_chunks)
+    _emit(summary)
+    return 0
+
+
 def cmd_import_playlist(args) -> int:
     """Import a reference sdrtrunk playlist.xml (PlaylistV2) into the
     native JSON config (playlist_import.py)."""
@@ -481,6 +562,35 @@ def main(argv=None) -> int:
                    help="write a jax.profiler trace alongside the bench")
     p.set_defaults(fn=cmd_bench)
 
+    p = sub.add_parser("monitor", help="LIVE trunked monitoring: "
+                       "playlist -> orchestrator with traffic following")
+    p.add_argument("--playlist", required=True)
+    p.add_argument("--input", help="IQ wave to replay as the tuner "
+                                   "(omit to use hardware / --source)")
+    p.add_argument("--source", choices=["usb", "test"], default="usb",
+                   help="live source when no --input: first USB tuner, "
+                        "or the synthetic test tuner")
+    p.add_argument("--center-frequency", type=float,
+                   help="RF frequency at capture center (Hz)")
+    p.add_argument("--sample-rate", type=float,
+                   help="tuner sample rate (hardware/test sources)")
+    p.add_argument("--audio-dir", help="write completed call audio "
+                                       "(WAV + metadata JSON) here")
+    p.add_argument("--event-log", help="decode-event log (.csv/.jsonl)")
+    p.add_argument("--traffic-slots", type=int, default=4,
+                   help="spare slots for granted traffic channels")
+    p.add_argument("--bank", action="store_true",
+                   help="force bank mode (auto at >=32 slots)")
+    p.add_argument("--chunk-samples", type=int)
+    p.add_argument("--duration", type=float,
+                   help="stop after this many seconds of signal")
+    p.add_argument("--max-chunks", type=int)
+    p.add_argument("--loop", action="store_true",
+                   help="loop the --input recording forever")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress per-chunk metrics lines")
+    p.set_defaults(fn=cmd_monitor)
+
     p = sub.add_parser("import-playlist",
                        help="import a reference sdrtrunk playlist.xml")
     p.add_argument("input")
@@ -489,7 +599,9 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
     platform = args.platform
-    if platform is None and args.fn is not cmd_bench:
+    # monitor is the live product loop: it defaults to the accelerator
+    # like bench; everything else is host-scale and defaults to cpu
+    if platform is None and args.fn not in (cmd_bench, cmd_monitor):
         platform = "cpu"
     if platform == "cpu":
         # must run before the first jax op initializes a backend; env vars

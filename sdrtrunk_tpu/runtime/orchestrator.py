@@ -52,6 +52,7 @@ class ChannelSlot:
     """One retunable channel slot of the running receiver."""
     index: int
     frequency_hz: float = 0.0
+    name: str | None = None      # playlist channel name (pinned slots)
     processor: object | None = None
     is_control: bool = False
     active: bool = False
@@ -104,8 +105,18 @@ class Orchestrator:
         the mix is a static slot partition — see MultibankReceiver).
         The control slot(s) live in the FIRST bank; grants activate free
         slots of that same kind. channel_map: FrequencyBand for MPT1327
-        control slots (the reference's user channel map)."""
-        control_offsets_hz = list(np.atleast_1d(control_offsets_hz))
+        control slots (the reference's user channel map).
+
+        control_offsets_hz entries may also be (offset_hz, kind) pairs:
+        with `banks`, such an entry pins its slot in the named protocol
+        bank instead of the first one (a heterogeneous playlist's
+        auto-started channels, gui/SDRTrunk.java:281-300)."""
+        if isinstance(control_offsets_hz, (int, float, np.floating)):
+            control_offsets_hz = [control_offsets_hz]
+        control_entries = [
+            (float(e[0]), e[1]) if isinstance(e, tuple)
+            else (float(e), None) for e in control_offsets_hz]
+        control_offsets_hz = [off for off, _ in control_entries]
         self.banks = ([(k2, int(n)) for k2, n in banks]
                       if banks is not None else None)
         if self.banks is not None:
@@ -214,8 +225,13 @@ class Orchestrator:
             self.bank_proc = cls(
                 slots, control_slots=set(range(len(control_offsets_hz))),
                 traffic=self.traffic, codec=self.codec)
-        for i, off in enumerate(control_offsets_hz):
-            slot = self.slots[i]
+        claimed: set[int] = set()
+        for off, want_kind in control_entries:
+            slot = next(
+                s for s in self.slots if s.index not in claimed
+                and (want_kind is None or self.banks is None
+                     or s.kind == want_kind))
+            claimed.add(slot.index)
             slot.is_control = True
             slot.active = True
             slot.frequency_hz = self.center_frequency_hz + float(off)
@@ -225,7 +241,7 @@ class Orchestrator:
                     kind, traffic=self.traffic, codec=self.codec,
                     channel_map=self.channel_map)
                 self._wire_logger(slot.processor)
-            self._tune(i, float(off))
+            self._tune(slot.index, float(off))
         self.rotation = None
         if control_rotation:
             from .rotation import ChannelRotationMonitor
