@@ -160,13 +160,21 @@ class MBEAudioModule:
     def __init__(self, codec: MBECodec | None = None,
                  frame_type: MBEFrameType = MBEFrameType.IMBE_144,
                  frame_recorder: MBECallSequenceRecorder | None = None,
-                 timeslot: int = 0):
+                 timeslot: int = 0, batch_frames: int = 54):
         self.codec = codec
         self.frame_type = frame_type
         self.frame_recorder = frame_recorder
         self.timeslot = timeslot
         self.segment: AudioSegment | None = None
         self.completed: list[AudioSegment] = []
+        # vocoder batching: frames buffer until batch_frames accumulate
+        # (~1 s at 20 ms/frame) or the call ends, then decode in ONE
+        # codec call — per-burst decode calls were a measured hot spot
+        # at 1000-carrier DMR bank scale (~14k 3-frame decodes/chunk).
+        # Decode order is preserved, so the segment PCM is identical.
+        self.batch_frames = batch_frames
+        self._pending: list[np.ndarray] = []
+        self._pending_count = 0
 
     def _ensure_segment(self, now: float) -> AudioSegment:
         if self.segment is None:
@@ -182,17 +190,34 @@ class MBEAudioModule:
         seg = self._ensure_segment(now)
         if identifiers is not None:
             seg.add_identifiers(identifiers)
-        frames = np.atleast_2d(np.asarray(frames, np.uint8))
+        frames = np.asarray(frames, np.uint8)
+        if frames.ndim == 1:
+            frames = frames[None, :]
         if self.frame_recorder is not None:
             for i, frame in enumerate(frames):
                 self.frame_recorder.frame(frame, self.frame_type,
                                           now * 1000.0 + 20.0 * i)
         if self.codec is not None and self.codec.available():
-            seg.add_audio(self.codec.decode_batch(frames, self.frame_type))
+            self._pending.append(frames)
+            self._pending_count += len(frames)
+            if self._pending_count >= self.batch_frames:
+                self.flush_frames()
+
+    def flush_frames(self) -> None:
+        """Decode all buffered frames into the open segment."""
+        if not self._pending or self.segment is None:
+            return
+        frames = (self._pending[0] if len(self._pending) == 1
+                  else np.concatenate(self._pending))
+        self._pending = []
+        self._pending_count = 0
+        self.segment.add_audio(
+            self.codec.decode_batch(frames, self.frame_type))
 
     def end_call(self, now: float) -> AudioSegment | None:
         if self.segment is None:
             return None
+        self.flush_frames()
         seg = self.segment
         seg.complete_segment()
         self.completed.append(seg)

@@ -23,10 +23,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bits import dibits_to_bits, from_int
+from ..bits import from_int
+from .burst import (cach_decode_batch, emb_decode_batch,
+                    slot_type_decode_batch)
 from .framer import (BURST_BITS, MAX_SYNC_BIT_ERRORS, SYNC_OFFSET,
                      DMRBurstFrame, DMRFramer, VOICE_FRAME_ORDER)
-from .sync import SYNC_VALUES, VOICE_PATTERNS
+from .sync import CACH_PATTERNS, DATA_PATTERNS, SYNC_VALUES, VOICE_PATTERNS
 
 __all__ = ["DMRBankFramer", "DMR_SYNC_DIBIT_PATTERNS"]
 
@@ -34,6 +36,15 @@ BURST_DIBITS = BURST_BITS // 2          # 144
 SYNC_OFFSET_DIBITS = SYNC_OFFSET // 2   # 66
 
 _PATTERNS = list(SYNC_VALUES.keys())
+# per-pattern flags (bit0 CACH, bit1 data, bit2 voice) — precomputed so
+# the hot descriptor loops index a list instead of hashing enums into
+# the pattern sets (~0.5M enum hashes/chunk at 1000-carrier scale)
+_FLAG_CACH, _FLAG_DATA, _FLAG_VOICE = 1, 2, 4
+_PFLAGS = [(_FLAG_CACH if p in CACH_PATTERNS else 0)
+           | (_FLAG_DATA if p in DATA_PATTERNS else 0)
+           | (_FLAG_VOICE if p in VOICE_PATTERNS else 0)
+           for p in _PATTERNS]
+_CONT_FLAGS = _FLAG_CACH | _FLAG_VOICE     # frames B..F (EMB, no sync)
 DMR_SYNC_DIBIT_PATTERNS = np.stack(
     [np.asarray(from_int(v, 48).reshape(24, 2) @ np.array([2, 1]),
                 np.uint8)
@@ -146,11 +157,24 @@ class DMRBankFramer:
         for s, a, p, e in pend:
             per_slot.setdefault(s, []).append((a, p, e))
 
+        # batched EMB pre-decode at every possible voice-continuation
+        # position: frames B..F carry EMB instead of sync, and the walk
+        # below needs emb.valid to decide whether a superframe survives.
+        # All such positions are deterministic (frame A's start + fixed
+        # 144-dibit strides), so ONE batched Hamming pass replaces the
+        # per-burst scalar decodes that capped the host layer at ~300
+        # carriers (DMRMessageFramer.java:61 uniform-scale bar)
+        emb_lut = self._emb_lut(w, abs0, per_slot)
+
         # per-slot positional walk merging sync-anchored bursts with
         # pending voice superframe continuations — events must be
         # consumed in stream order or a later burst's claim watermark
         # suppresses an earlier continuation (the per-slot framer gets
-        # this for free by re-scanning its whole carry window)
+        # this for free by re-scanning its whole carry window). The
+        # walk is purely positional: burst CONTENT is built afterwards
+        # in one batched pass over the descriptor list.
+        descs: list[tuple] = []  # (slot, pos, pattern, err, abs, emb,
+        #                           flags)
         for s in set(per_slot) | set(self.voice_next):
             items = sorted(per_slot.get(s, []))
             vw = int(valid_w[s])
@@ -169,12 +193,14 @@ class DMRBankFramer:
                     if pos + BURST_DIBITS > vw:
                         break                   # nothing later fits either
                     if a >= claimed + BURST_DIBITS // 2:
-                        frame = self._burst(w[s], pos,
-                                            VOICE_FRAME_ORDER[idx], 0, a)
-                        if frame.emb is not None and not frame.emb.valid:
+                        emb = emb_lut.get((s, a))
+                        if emb is None:         # defensive scalar path
+                            emb = self._emb_scalar(w[s], pos)
+                        if not emb.valid:
                             vn = None           # superframe lost
                             continue
-                        out.append((s, frame))
+                        descs.append((s, pos, VOICE_FRAME_ORDER[idx],
+                                      0, a, emb, _CONT_FLAGS))
                         claimed = a
                     vn = ((a + BURST_DIBITS, idx + 1)
                           if idx + 1 < len(VOICE_FRAME_ORDER) else None)
@@ -187,11 +213,11 @@ class DMRBankFramer:
                     if pos + BURST_DIBITS > vw:
                         i -= 1
                         break                   # keep for next chunk
-                    pattern = _PATTERNS[p_idx]
-                    out.append((s, self._burst(w[s], pos, pattern,
-                                               err, a)))
+                    flags = _PFLAGS[p_idx]
+                    descs.append((s, pos, _PATTERNS[p_idx], err, a,
+                                  None, flags))
                     claimed = a
-                    if pattern in VOICE_PATTERNS:
+                    if flags & _FLAG_VOICE:
                         vn = (a + BURST_DIBITS, 0)
                 else:
                     break
@@ -201,16 +227,119 @@ class DMRBankFramer:
             for a, p_idx, err in items[i:]:     # incomplete tail bursts
                 self.pending.append((s, a, p_idx, err))
 
+        # sorting the compact descriptors replaces the old per-frame
+        # sort (one tuple key per burst was ~0.1 s/chunk at bank scale)
+        descs.sort(key=lambda d: (d[0], d[4]))
+        out.extend(self._build_frames(w, descs))
+
         # advance rolling windows
         idx = (valid_w - retain)[:, None] + np.arange(retain)
         self.tail = w[np.arange(self.c)[:, None], idx]
         self.total += counts
-
-        out.sort(key=lambda sf: (sf[0], sf[1].start))
         return out
 
-    def _burst(self, row: np.ndarray, pos: int, pattern, err: int,
-               abs_start: int) -> DMRBurstFrame:
-        bits = dibits_to_bits(row[pos: pos + BURST_DIBITS])
-        return self._helper._frame_burst(bits, 0, pattern, err,
-                                         abs_start)
+    # EMB word = burst bits [132:140) + [172:180) = dibits 66..69, 86..89
+    _EMB_DIBITS = np.array([66, 67, 68, 69, 86, 87, 88, 89])
+
+    def _emb_lut(self, w: np.ndarray, abs0: np.ndarray,
+                 per_slot: dict) -> dict:
+        """Batch-decode the EMB at every position a voice superframe
+        walk could visit this chunk: {(slot, abs_pos): EMB}."""
+        es, ea = [], []
+        for s, items in per_slot.items():
+            for a, p_idx, _ in items:
+                if _PFLAGS[p_idx] & _FLAG_VOICE:
+                    for k in range(1, len(VOICE_FRAME_ORDER) + 1):
+                        es.append(s)
+                        ea.append(a + k * BURST_DIBITS)
+        for s, (a, idx) in self.voice_next.items():
+            for j in range(len(VOICE_FRAME_ORDER) - idx):
+                es.append(s)
+                ea.append(a + j * BURST_DIBITS)
+        if not es:
+            return {}
+        es = np.asarray(es)
+        ea = np.asarray(ea)
+        pos = ea - abs0[es]
+        keep = (pos >= 0) & (pos + 90 <= w.shape[1])
+        es, ea, pos = es[keep], ea[keep], pos[keep]
+        if not len(es):
+            return {}
+        dib = w[es[:, None], pos[:, None] + self._EMB_DIBITS]  # (N, 8)
+        bits = np.empty((len(es), 16), np.uint8)
+        bits[:, 0::2] = dib >> 1
+        bits[:, 1::2] = dib & 1
+        embs = emb_decode_batch(bits)
+        return {(int(s), int(a)): e for s, a, e in zip(es, ea, embs)}
+
+    def _emb_scalar(self, row: np.ndarray, pos: int):
+        from .burst import EMB
+        dib = row[pos + self._EMB_DIBITS]
+        bits = np.empty(16, np.uint8)
+        bits[0::2] = dib >> 1
+        bits[1::2] = dib & 1
+        return EMB.decode(bits)
+
+    def _build_frames(self, w: np.ndarray, descs: list
+                      ) -> list[tuple[int, DMRBurstFrame]]:
+        """Batched burst construction for the walk's descriptor list:
+        one gather for all burst windows, one batched TACT pass for all
+        CACHs, one batched Golay pass for all slot types; only data-
+        burst CONTENT (CSBK/BPTC/packet — control-channel traffic, a
+        tiny fraction of a voice-dominated bank) stays scalar via the
+        proven per-slot path (DMRFramer._decode_data)."""
+        if not descs:
+            return []
+        s_arr = np.array([d[0] for d in descs])
+        p_arr = np.array([d[1] for d in descs])
+        win = w[s_arr[:, None], p_arr[:, None] + np.arange(BURST_DIBITS)]
+        bits = np.empty((len(descs), BURST_BITS), np.uint8)
+        bits[:, 0::2] = win >> 1
+        bits[:, 1::2] = win & 1
+
+        flags = [d[6] for d in descs]
+        cach_rows = [i for i, f in enumerate(flags) if f & _FLAG_CACH]
+        cachs = (cach_decode_batch(bits[cach_rows, :24])
+                 if cach_rows else [])
+        data_rows = [i for i, f in enumerate(flags) if f & _FLAG_DATA]
+        sts = (slot_type_decode_batch(np.concatenate(
+            [bits[data_rows, 122:132], bits[data_rows, 180:190]],
+            axis=1)) if data_rows else [])
+        voice_rows = [i for i, f in enumerate(flags) if f & _FLAG_VOICE]
+        if voice_rows:
+            vb = bits[voice_rows]
+            vframes = np.stack(
+                [vb[:, 24:96],
+                 np.concatenate([vb[:, 96:132], vb[:, 180:216]], axis=1),
+                 vb[:, 216:288]], axis=1)               # (Nv, 3, 72)
+
+        out = []
+        ci = di = vi = 0
+        decode_data = DMRFramer._decode_data
+        append = out.append
+        for i, (s, pos, pattern, err, a, emb, f) in enumerate(descs):
+            # positional construction (field order of DMRBurstFrame):
+            # pattern, start, bits, cach, slot_type, emb, timeslot,
+            # content, content_kind, sync_errors
+            if f & _FLAG_CACH:
+                cach = cachs[ci]
+                ci += 1
+                ts = cach.timeslot if cach.valid else 1
+            else:
+                cach = None
+                ts = 1
+            if f & _FLAG_DATA:
+                frame = DMRBurstFrame(pattern, a, bits[i], cach,
+                                      sts[di], None, ts, None, "", err)
+                di += 1
+                decode_data(frame)
+            elif f & _FLAG_VOICE:
+                frame = DMRBurstFrame(
+                    pattern, a, bits[i], cach, None, emb, ts,
+                    {"ambe_frames": vframes[vi]}, "voice", err)
+                vi += 1
+            else:
+                frame = DMRBurstFrame(pattern, a, bits[i], cach, None,
+                                      None, ts, None, "", err)
+            append((s, frame))
+        return out

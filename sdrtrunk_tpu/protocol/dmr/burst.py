@@ -20,11 +20,12 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..bits import from_int, to_int
-from ..edac.golay import golay24_decode, golay24_encode
+from ..edac.golay import golay24_decode, golay24_decode_batch, golay24_encode
 from ..edac.hamming import HammingCode
 
 __all__ = ["CACH", "SlotType", "EMB", "BURST_BITS", "CACH_BITS",
-           "cach_interleave", "cach_deinterleave"]
+           "cach_interleave", "cach_deinterleave", "cach_decode_batch",
+           "slot_type_decode_batch", "emb_decode_batch"]
 
 BURST_BITS = 288
 CACH_BITS = 24
@@ -51,7 +52,7 @@ def cach_interleave(decoded24: np.ndarray) -> np.ndarray:
     return out
 
 
-@dataclass
+@dataclass(slots=True)
 class CACH:
     busy: bool            # inbound channel access type
     timeslot: int         # 1 or 2 (outbound burst timeslot)
@@ -83,7 +84,7 @@ class CACH:
         return cach_interleave(np.concatenate([tact, payload]))
 
 
-@dataclass
+@dataclass(slots=True)
 class SlotType:
     color_code: int
     data_type: int
@@ -111,7 +112,7 @@ class SlotType:
         return golay24_encode(data)[4:]
 
 
-@dataclass
+@dataclass(slots=True)
 class EMB:
     color_code: int
     pi: bool
@@ -133,3 +134,50 @@ class EMB:
                                np.array([int(pi)], np.uint8),
                                from_int(lcss, 2)])
         return _EMB_CODE.encode(data)
+
+
+# ---------------------------------------------------------------- batch
+# Vectorized versions of the three per-burst decodes above — one batched
+# syndrome pass for a whole chunk's bursts instead of ~14k scalar calls
+# (the measured 1000-carrier DMR framing bottleneck). Field-for-field
+# identical to the scalar decode() paths (asserted in tests/test_dmr
+# _bankframer.py equivalence suites).
+
+def cach_decode_batch(raw24: np.ndarray) -> list[CACH]:
+    """(N, 24) interleaved CACH blocks -> N CACH objects."""
+    d = np.asarray(raw24, np.uint8)[:, _CACH_MATRIX]
+    tact, nerr = _TACT_CODE.decode_batch(d[:, :7])
+    pay = d[:, 7:24]
+    tl = tact[:, :4].tolist()               # plain ints: np scalar
+    vl = (nerr >= 0).tolist()               # indexing is ~10x slower
+    return [CACH(busy=bool(t[0]), timeslot=2 if t[1] else 1,
+                 lcss=(t[2] << 1) | t[3], payload=pay[i], valid=vl[i])
+            for i, t in enumerate(tl)]
+
+
+def slot_type_decode_batch(bits20: np.ndarray) -> list[SlotType]:
+    """(N, 20) slot-type words -> N SlotType objects."""
+    b = np.asarray(bits20, np.uint8)
+    words = np.concatenate(
+        [np.zeros((len(b), 4), np.uint8), b], axis=1)
+    out, nerr = golay24_decode_batch(words)
+    pw4 = (1 << (3 - np.arange(4))).astype(np.int64)
+    cc = (out[:, 4:8] @ pw4).tolist()
+    dt = (out[:, 8:12] @ pw4).tolist()
+    nl = nerr.tolist()
+    return [SlotType(color_code=cc[i], data_type=dt[i],
+                     valid=0 <= nl[i] < 3, corrected=max(nl[i], 0))
+            for i in range(len(b))]
+
+
+def emb_decode_batch(bits16: np.ndarray) -> list[EMB]:
+    """(N, 16) EMB words -> N EMB objects."""
+    w = np.asarray(bits16, np.uint8)
+    out, nerr = _EMB_CODE.decode_batch(w)
+    pw4 = (1 << (3 - np.arange(4))).astype(np.int64)
+    cc = (out[:, 0:4] @ pw4).tolist()
+    pi = out[:, 4].astype(bool).tolist()
+    lcss = ((out[:, 5].astype(np.int64) << 1) | out[:, 6]).tolist()
+    vl = (nerr >= 0).tolist()
+    return [EMB(color_code=cc[i], pi=pi[i], lcss=lcss[i], valid=vl[i])
+            for i in range(len(w))]

@@ -55,7 +55,7 @@ class DataType:
     USB_DATA = 11
 
 
-@dataclass
+@dataclass(slots=True)
 class DMRBurstFrame:
     pattern: DMRSyncPattern
     start: int                    # absolute dibit index of burst start

@@ -141,19 +141,42 @@ def embedded_lc_encode(lc_bits72: np.ndarray) -> np.ndarray:
     return scrambled.reshape(4, 32)
 
 
+_LC_CACHE: dict = {}
+_LC_CACHE_MAX = 8192
+_MISS = object()
+
+
 def embedded_lc_decode(fragments: np.ndarray) -> FullLC | None:
-    """(4, 32) fragments from frames B..E -> FullLC or None."""
+    """(4, 32) fragments from frames B..E -> FullLC or None.
+
+    Decode is a pure function and a call's LC is constant, yet it is
+    retransmitted every 360 ms superframe — at 1000-carrier scale that
+    is ~2300 identical decodes per chunk, so results are memoized by
+    the raw 128-bit pattern (bounded cache, cleared when full)."""
     raw = np.asarray(fragments, np.uint8).reshape(-1)
     if len(raw) != 128:
         raise ValueError("embedded LC needs 128 bits")
+    key = raw.tobytes()
+    hit = _LC_CACHE.get(key, _MISS)
+    if hit is not _MISS:
+        return hit
+    result = _embedded_lc_decode_uncached(raw)
+    if len(_LC_CACHE) >= _LC_CACHE_MAX:
+        _LC_CACHE.clear()
+    _LC_CACHE[key] = result
+    return result
+
+
+def _embedded_lc_decode_uncached(raw: np.ndarray) -> FullLC | None:
     mat = raw[_DESCRAMBLE].reshape(8, 16)
-    corrected = 0
-    for row in range(7):
-        word, nerr = HAMMING_16_11_4.decode(mat[row])
-        if nerr is None:
-            return None
-        corrected += nerr
-        mat[row] = word
+    # one batched syndrome pass over all 7 Hamming rows (scalar decode
+    # per row was a measured hot spot at 1000-carrier DMR voice scale:
+    # one embedded-LC decode per superframe per slot)
+    words, nerr = HAMMING_16_11_4.decode_batch(mat[:7])
+    if np.any(nerr < 0):
+        return None
+    corrected = int(nerr.sum())
+    mat[:7] = words
     if np.any(np.bitwise_xor.reduce(mat, axis=0)):
         return None
     bits = np.concatenate([mat[0, :11], mat[1, :11]] +

@@ -15,7 +15,8 @@ from itertools import combinations
 import numpy as np
 
 __all__ = ["golay23_encode", "golay23_decode", "golay24_encode",
-           "golay24_decode", "golay18_encode", "golay18_decode"]
+           "golay24_decode", "golay24_decode_batch", "golay18_encode",
+           "golay18_decode"]
 
 _GEN = 0xC75  # ascending-power bit i = coeff of x^i
 
@@ -110,6 +111,51 @@ def golay24_decode(word: np.ndarray):
         nerr += 1
     if nerr >= 4:
         return w, None  # d=8: weight-4 patterns are detect-only
+    return out, nerr
+
+
+@lru_cache(maxsize=1)
+def _batch_tables() -> tuple:
+    """(colbits (23,11) uint8, pos_lut (2048,3) int16 padded -1,
+    weight_lut (2048,) int16) for vectorized syndrome decode."""
+    cols = np.concatenate(
+        [_rows(), (1 << (10 - np.arange(11))).astype(np.int64)])
+    colbits = ((cols[:, None] >> (10 - np.arange(11))[None, :]) & 1
+               ).astype(np.uint8)
+    pos = np.full((2048, 3), -1, np.int16)
+    wt = np.zeros(2048, np.int16)
+    for s, positions in _syndrome_table().items():
+        wt[s] = len(positions)
+        pos[s, :len(positions)] = positions
+    return colbits, pos, wt
+
+
+def golay24_decode_batch(words: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized golay24_decode of (N, 24) words.
+
+    Returns (corrected (N, 24), nerr (N,)) with nerr in 0..3 or -1 for
+    detect-only (the scalar path's None); detect-only rows return the
+    original word, matching golay24_decode exactly. One syndrome matmul
+    + LUT for the whole batch — the per-burst scalar decode was the
+    measured bottleneck of 1000-carrier DMR slot-type framing."""
+    w = np.asarray(words, np.uint8)
+    colbits, pos, wt = _batch_tables()
+    synd_bits = (w[:, :23] @ colbits) & 1                  # (N, 11)
+    synd = synd_bits @ (1 << (10 - np.arange(11))).astype(np.int64)
+    out = w.copy()
+    p = pos[synd]                                          # (N, 3)
+    rows = np.repeat(np.arange(len(w)), 3)
+    flat = p.reshape(-1).astype(np.int64)
+    ok = flat >= 0
+    out[rows[ok], flat[ok]] ^= 1
+    nerr = wt[synd].astype(np.int64)
+    parity_bad = (out.sum(axis=1) & 1).astype(bool)
+    out[parity_bad, 23] ^= 1
+    nerr = nerr + parity_bad
+    bad = nerr >= 4                                        # d=8 detect-only
+    out[bad] = w[bad]
+    nerr[bad] = -1
     return out, nerr
 
 

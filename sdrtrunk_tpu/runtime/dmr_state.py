@@ -15,7 +15,6 @@ import numpy as np
 from ..audio.mbe import MBEAudioModule, MBEFrameType
 from ..protocol.dmr.framer import DMRBurstFrame
 from ..protocol.dmr.lc import embedded_lc_decode
-from ..protocol.dmr.sync import VOICE_PATTERNS
 from ..protocol.dmr.packet import PacketSequenceAssembler
 from .events import DecodeEvent, DecodeEventHistory, DecodeEventType
 from .identifiers import Identifier, IdentifierCollection, IdentifierRole
@@ -39,6 +38,7 @@ class _SlotState:
                                     timeslot=timeslot)
         self.call: DecodeEvent | None = None
         self.lc_fragments: list = []
+        self.ids_dirty = True      # identifiers changed since last push
 
 
 class DMRDecoderState:
@@ -112,14 +112,20 @@ class DMRDecoderState:
             if isinstance(frame.content, dict) else None
         if frames is None:
             frames = frame.voice_frames()
-        slot.audio.receive_frames(
-            np.asarray(frames).reshape(3, 72), now,
-            identifiers=list(slot.identifiers.identifiers.values()))
+        # identifier refresh only when the collection changed or a new
+        # segment opens — rebuilding + merging the list per burst was a
+        # measured hot spot at 1000-carrier bank scale (~14k voice
+        # bursts/chunk); the segment's final identifier set is the same
+        ids = None
+        if slot.ids_dirty or slot.audio.segment is None:
+            ids = list(slot.identifiers.identifiers.values())
+            slot.ids_dirty = False
+        slot.audio.receive_frames(frames, now, identifiers=ids)
         # embedded LC: 32-bit fragments ride frames B..E of the
-        # superframe; frame A (sync) restarts collection
-        if frame.pattern in VOICE_PATTERNS:
+        # superframe; frame A (sync, emb None) restarts collection
+        if frame.emb is None:
             slot.lc_fragments = []
-        elif frame.emb is not None:
+        else:
             slot.lc_fragments.append(frame.embedded_lc_fragment())
             if len(slot.lc_fragments) == 4:
                 lc = embedded_lc_decode(np.stack(slot.lc_fragments))
@@ -127,6 +133,7 @@ class DMRDecoderState:
                 if lc is not None:
                     slot.identifiers.update_all(
                         self._lc_identifiers(lc).identifiers.values())
+                    slot.ids_dirty = True
         if slot.call is not None:
             slot.call.update(now)
 

@@ -156,7 +156,7 @@ class Orchestrator:
         # streams and the host runs one P25P1BankFramer over the whole
         # bank (runtime/bank_processor.py). Same product surface
         # (events, audio, traffic following) — different scaling tier.
-        _BANK_KINDS = ("c4fm", "p25p1", "dmr", "nbfm", "am")
+        _BANK_KINDS = ("c4fm", "p25p1", "dmr", "p25p2", "nbfm", "am")
         if bank_mode is None:
             bank_mode = decoder in _BANK_KINDS and slots >= 32
         if bank_mode and decoder not in _BANK_KINDS:
@@ -219,9 +219,11 @@ class Orchestrator:
             self.bank_proc = AnalogBankProcessor(slots)
         elif self.bank_mode:
             from .bank_processor import (DMRBankProcessor,
-                                         P25P1BankProcessor)
-            cls = (DMRBankProcessor if decoder == "dmr"
-                   else P25P1BankProcessor)
+                                         P25P1BankProcessor,
+                                         P25P2BankProcessor)
+            cls = {"dmr": DMRBankProcessor,
+                   "p25p2": P25P2BankProcessor}.get(decoder,
+                                                    P25P1BankProcessor)
             self.bank_proc = cls(
                 slots, control_slots=set(range(len(control_offsets_hz))),
                 traffic=self.traffic, codec=self.codec)
@@ -304,31 +306,38 @@ class Orchestrator:
             dib4 = (d4 * jnp.array([1, 4, 16, 64], jnp.int32)
                     ).sum(-1).astype(jnp.uint8)
             # XOR-popcount sync correlation over the compact stream:
-            # 24 shifted fused adds per bit plane per pattern (a
+            # L shifted fused adds per bit plane per pattern (a
             # lax.conv with 2 channels lowers ~10x slower on TPU).
-            # Pattern set + threshold follow the protocol: P25's 4
+            # Pattern set + threshold follow the protocol: P25P1's 4
             # rotation images at <=9 bit errors, DMR's 7 patterns at
-            # <=4 (DMRSyncDetector threshold)
+            # <=4 (DMRSyncDetector threshold), P25P2's single 20-dibit
+            # pattern at <=4 (P25P2SyncPattern)
             if self.decoder_name == "dmr":
                 from ..protocol.dmr.bankframer import (
                     DMR_SYNC_DIBIT_PATTERNS as _PATS)
                 from ..protocol.dmr.framer import MAX_SYNC_BIT_ERRORS \
                     as _THR
+            elif self.decoder_name == "p25p2":
+                from ..protocol.p25p2.bankframer import (
+                    P25P2_SYNC_DIBITS)
+                _PATS = P25P2_SYNC_DIBITS[None, :]
+                _THR = 4
             else:
                 from ..protocol.p25p1.bankframer import (
                     SYNC_DIBIT_PATTERNS as _PATS)
                 _THR = 9
+            plen = int(np.asarray(_PATS).shape[1])
             hi = (sdib >> 1).astype(jnp.int32)
             lo = (sdib & 1).astype(jnp.int32)
-            lags = bank_cap - 23
+            lags = bank_cap - (plen - 1)
             best = jnp.full((c, lags), 96, jnp.int32)
             for pat in np.asarray(_PATS):
                 err = jnp.zeros((c, lags), jnp.int32)
-                for j in range(24):
+                for j in range(plen):
                     err = (err + (hi[:, j:j + lags] != int(pat[j] >> 1))
                            + (lo[:, j:j + lags] != int(pat[j] & 1)))
                 best = jnp.minimum(best, err)
-            hits = jnp.pad(best <= _THR, ((0, 0), (0, 23)))
+            hits = jnp.pad(best <= _THR, ((0, 0), (0, plen - 1)))
             h8 = hits.reshape(c, bank_cap // 8, 8).astype(jnp.int32)
             hbits = (h8 * jnp.array([128, 64, 32, 16, 8, 4, 2, 1],
                                     jnp.int32)).sum(-1).astype(jnp.uint8)
@@ -486,8 +495,9 @@ class Orchestrator:
         if hist is not None and hasattr(hist, "add_listener"):
             hist.add_listener(self.event_logger.receive)
 
-    def _bank_reset_slot(self, index: int, preload=None) -> None:
-        self.bank_proc.reset_slot(index, preload=preload)
+    def _bank_reset_slot(self, index: int, preload=None,
+                         **extra) -> None:
+        self.bank_proc.reset_slot(index, preload=preload, **extra)
         state = self.bank_proc.states[index]
         if self.event_logger is not None and hasattr(state, "history"):
             state.history.add_listener(self.event_logger.receive)
@@ -635,7 +645,16 @@ class Orchestrator:
         slot.active = True
         slot.activated_at = self.now
         if self.bank_mode:
-            self._bank_reset_slot(slot.index, preload=identifiers)
+            extra = {}
+            # P25P2 traffic channels need the control channel's learned
+            # scramble key (preload data, ChannelProcessingManager:403)
+            key_fn = getattr(self.bank_proc, "scramble_key", None)
+            if key_fn is not None:
+                key = key_fn()
+                if key is not None:
+                    extra["scramble_key"] = key
+            self._bank_reset_slot(slot.index, preload=identifiers,
+                                  **extra)
             return
         # P25P2 traffic channels need the scramble key the control
         # channel learned (preload data, ChannelProcessingManager:403-468)

@@ -171,8 +171,7 @@ def test_dmr_teardown_frees_slot(dmr_run):
 
 # --------------------------------------------------------------- P25P2
 
-@pytest.fixture(scope="module")
-def p25p2_run():
+def _p25p2_source():
     from sdrtrunk_tpu.protocol.p25p2 import P25P2FragmentAssembler
     from sdrtrunk_tpu.protocol.p25p2.mac import (build_mac_pdu,
                                                  mac_structure_encode)
@@ -247,13 +246,18 @@ def p25p2_run():
          P25P2FragmentAssembler.to_dibits(t_frags)])
     traffic = _pad(traffic, total_dibits, rng)
 
-    source = _mix([
+    return _mix([
         (CONTROL_OFF, generators.lsm_modulate(control, FS,
                                               symbol_rate=p2baud)),
         (TRAFFIC_OFF, generators.lsm_modulate(traffic, FS,
                                               symbol_rate=p2baud))])
-    orch = Orchestrator(source, FS, CENTER_HZ, [CONTROL_OFF], slots=4,
-                        decoder="p25p2", chunk_samples=64 * 256,
+
+
+@pytest.fixture(scope="module")
+def p25p2_run():
+    orch = Orchestrator(_p25p2_source(), FS, CENTER_HZ, [CONTROL_OFF],
+                        slots=4, decoder="p25p2",
+                        chunk_samples=64 * 256,
                         idle_teardown_seconds=0.8)
     orch.run()
     return orch
@@ -281,6 +285,45 @@ def test_p25p2_voice_becomes_audio_segment(p25p2_run):
     assert segs, "no P25P2 audio segments"
     # each VOICE_4 timeslot carries 4 AMBE frames x 20 ms
     assert segs[0].duration >= 4 * 0.020 - 1e-6
+    tgs = [i.value for i in segs[0].identifiers.all()
+           if i.role == IdentifierRole.TO]
+    assert GROUP in tgs
+
+
+@pytest.fixture(scope="module")
+def p25p2_bank_run():
+    """The SAME trunked P25P2 scene through the BANK tier (round-5
+    p25p2 addition to _BANK_KINDS): device-side 20-dibit sync
+    correlation + P25P2BankFramer + P25P2BankProcessor."""
+    orch = Orchestrator(_p25p2_source(), FS, CENTER_HZ, [CONTROL_OFF],
+                        slots=4, decoder="p25p2",
+                        chunk_samples=64 * 256,
+                        idle_teardown_seconds=0.8, bank_mode=True)
+    orch.run()
+    return orch
+
+
+def test_p25p2_bank_scramble_key_learned(p25p2_bank_run):
+    orch = p25p2_bank_run
+    assert orch.bank_mode
+    assert orch.bank_proc.states[0].scramble_key == \
+        (0xA4BC3, 0x123, 0x29A)
+
+
+def test_p25p2_bank_grant_and_voice(p25p2_bank_run):
+    orch = p25p2_bank_run
+    freq = CENTER_HZ + TRAFFIC_OFF
+    assert any(e.frequency_hz == pytest.approx(freq)
+               for e in orch.events)
+    slot = next((s for s in orch.slots
+                 if not s.is_control and s.frequency_hz == freq), None)
+    assert slot is not None
+    # traffic slot framer got the control channel's key preloaded
+    assert orch.bank_proc.states[slot.index].scramble_key == \
+        (0xA4BC3, 0x123, 0x29A)
+    assert orch.bank_proc.frame_counts[slot.index] >= 1
+    segs = [s for s in orch.audio_segments if s.duration > 0]
+    assert segs, "no P25P2 bank audio segments"
     tgs = [i.value for i in segs[0].identifiers.all()
            if i.role == IdentifierRole.TO]
     assert GROUP in tgs
