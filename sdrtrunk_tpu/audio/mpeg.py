@@ -33,7 +33,8 @@ import numpy as np
 
 from .segments import AudioSegment
 
-__all__ = ["MpegLayer1Encoder", "mpeg_layer1_encoder"]
+__all__ = ["MpegLayer1Encoder", "mpeg_layer1_encoder",
+           "MpegLayer2Encoder", "mpeg_layer2_encoder"]
 
 SUBBANDS = 32
 GRANULES = 12
@@ -186,4 +187,132 @@ def mpeg_layer1_encoder(segment: AudioSegment) -> bytes:
     """AudioStreamingManager encoder hook: one AudioSegment -> MPEG
     frames (the MP3AudioConverter.convert role)."""
     enc = MpegLayer1Encoder(pcm_rate=segment.sample_rate)
+    return enc.encode(segment.samples) + enc.flush()
+
+
+# ===================================================== Layer II ("MP2")
+
+L2_GRANULES = 36                            # 3 parts x 12
+L2_FRAME_SAMPLES = SUBBANDS * L2_GRANULES   # 1152
+L2_BITRATE = 96000
+# slots = 144 * bitrate / fs, exact at 96k/32k -> 432 bytes, no padding
+L2_FRAME_BYTES = 144 * L2_BITRATE // 32000
+L2_QUANT_BITS = 10                          # steps 1023, non-grouped
+L2_CODED_SUBBANDS = 8                       # 0..4 kHz; 8 kHz voice has
+#                                             nothing above (alloc 0)
+
+# ISO 11172-3 Table B.2b (32 kHz at >= 96 kbps mono), allocation-index
+# widths per subband and the class lists needed for our fixed scheme:
+#   sb 0-10: 4-bit alloc; sb 11-22: 3-bit; sb 23-29: 2-bit
+# steps lists: sb 0-2  -> 3,7,15,31,63,127,255,511,1023,... (1023 @ 9)
+#              sb 3-10 -> 3,5,7,9,15,31,63,127,255,511,1023 (1023 @ 11)
+_L2_ALLOC_WIDTH = [4] * 11 + [3] * 12 + [2] * 7          # 30 subbands
+_L2_ALLOC_1023 = {sb: (9 if sb < 3 else 11) for sb in range(11)}
+
+
+class MpegLayer2Encoder:
+    """Streaming MPEG-1 Audio **Layer II** encoder (mono, 32 kHz,
+    96 kbps) — the closest in-repo step toward the reference's LAME MP3
+    (audio/convert/MP3AudioConverter.java): Layer II shares MP3's frame
+    length (1152 samples) and header family, streams as audio/mpeg, and
+    every MPEG audio decoder handles it ("MP2").
+
+    Fixed allocation scheme sized to the voice path: subbands 0-7 carry
+    10-bit (1023-step, non-grouped) samples with all three scalefactors
+    transmitted (scfsi 0); subbands 8-29 get allocation 0 — 8 kHz call
+    audio upsampled x4 has no content above 4 kHz by construction.
+    Budget: 3456 = 32 header + 94 allocation + 16 scfsi + 144
+    scalefactors + 2880 samples + 290 ancillary zeros."""
+
+    def __init__(self, pcm_rate: float = 8000.0):
+        self._l1 = MpegLayer1Encoder(pcm_rate=pcm_rate)   # PQMF + resample
+        self._pcm_carry = np.zeros(0, np.float32)
+
+    @staticmethod
+    def _header() -> list[int]:
+        bits = []
+        bits += [1] * 12                      # sync
+        bits += [1]                           # ID: MPEG-1
+        bits += [1, 0]                        # layer II = '10'
+        bits += [1]                           # protection: none
+        bits += [0, 1, 1, 0]                  # bitrate index 6 -> 96k
+        bits += [1, 0]                        # 32 kHz
+        bits += [0]                           # padding
+        bits += [0]                           # private
+        bits += [1, 1]                        # mode: single channel
+        bits += [0, 0]                        # mode extension
+        bits += [0]                           # copyright
+        bits += [1]                           # original
+        bits += [0, 0]                        # emphasis: none
+        return bits
+
+    def _encode_frame(self, granules: np.ndarray) -> bytes:
+        """granules: (36, 32) subband samples -> one 432-byte frame."""
+        bits = self._header()
+        # allocation (Table B.2b widths); 1023-step class for coded
+        # subbands, 0 for the rest
+        for sb in range(30):
+            w = _L2_ALLOC_WIDTH[sb]
+            code = _L2_ALLOC_1023[sb] if sb < L2_CODED_SUBBANDS else 0
+            bits += [(code >> b) & 1 for b in range(w - 1, -1, -1)]
+        # scfsi: '00' = all three scalefactors transmitted
+        bits += [0, 0] * L2_CODED_SUBBANDS
+        # scalefactors: one per 12-granule part per coded subband
+        parts = granules.reshape(3, 12, SUBBANDS)
+        peaks = np.abs(parts).max(axis=1)                  # (3, 32)
+        sf_idx = np.searchsorted(-_SCALEFACTORS, -peaks, side="right")
+        sf_idx = np.clip(sf_idx - 1, 0, 62)
+        sf_idx = np.where(peaks >= _SCALEFACTORS[0], 0, sf_idx)
+        for sb in range(L2_CODED_SUBBANDS):
+            for p in range(3):
+                bits += [(int(sf_idx[p, sb]) >> b) & 1
+                         for b in range(5, -1, -1)]
+        # samples: same ISO requantization grid as Layer I at nb=10
+        # (steps 2^nb - 1, MSB-inversion convention), three consecutive
+        # samples per subband per granule
+        levels = (1 << L2_QUANT_BITS) - 1
+        scale = _SCALEFACTORS[sf_idx]                      # (3, 32)
+        scaled = parts / scale[:, None, :]
+        codes = np.clip(np.round(
+            scaled * levels * 0.5 + (1 << (L2_QUANT_BITS - 1)) - 1
+        ).astype(int), 0, levels).reshape(36, SUBBANDS)
+        for gr in range(12):
+            for sb in range(L2_CODED_SUBBANDS):
+                for r in range(3 * gr, 3 * gr + 3):
+                    cc = int(codes[r, sb])
+                    bits += [(cc >> b) & 1
+                             for b in range(L2_QUANT_BITS - 1, -1, -1)]
+        bits += [0] * (L2_FRAME_BYTES * 8 - len(bits))
+        return np.packbits(np.asarray(bits, np.uint8)).tobytes()
+
+    def encode(self, pcm: np.ndarray) -> bytes:
+        from ..dsp import fir
+        l1 = self._l1
+        pcm = np.concatenate([self._pcm_carry,
+                              np.asarray(pcm, np.float32)])
+        frame_pcm = L2_FRAME_SAMPLES // l1.up
+        n_frames = len(pcm) // frame_pcm
+        self._pcm_carry = pcm[n_frames * frame_pcm:]
+        if n_frames == 0:
+            return b""
+        usable = pcm[:n_frames * frame_pcm]
+        import jax.numpy as jnp
+        x32 = np.asarray(fir.polyphase_resample(
+            jnp.asarray(usable), jnp.asarray(l1._resample_taps),
+            l1.up, 1))
+        sub = l1._analyze(np.clip(x32, -1.0, 1.0))   # (n*3, 12, 32)
+        frames = sub.reshape(n_frames, L2_GRANULES, SUBBANDS)
+        return b"".join(self._encode_frame(f) for f in frames)
+
+    def flush(self) -> bytes:
+        if not len(self._pcm_carry):
+            return b""
+        frame_pcm = L2_FRAME_SAMPLES // self._l1.up
+        pad = (-len(self._pcm_carry)) % frame_pcm
+        return self.encode(np.zeros(pad, np.float32))
+
+
+def mpeg_layer2_encoder(segment: AudioSegment) -> bytes:
+    """AudioStreamingManager encoder hook, Layer II variant."""
+    enc = MpegLayer2Encoder(pcm_rate=segment.sample_rate)
     return enc.encode(segment.samples) + enc.flush()

@@ -150,6 +150,129 @@ def test_independent_decoder_reconstructs_audio():
     assert best_snr > 15.0, f"reconstruction SNR {best_snr:.1f} dB"
 
 
+# ===================================================== Layer II ("MP2")
+
+# ISO 11172-3 Table B.2b structure needed to PARSE (independent of the
+# encoder's constants): allocation index widths per subband and the
+# steps list per subband class
+_B2B_WIDTH = [4] * 11 + [3] * 12 + [2] * 7
+_STEPS_0_2 = [0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+              8191, 16383, 32767, 65535]
+_STEPS_3_10 = [0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+               4095, 8191, 65535]
+_STEPS_11_22 = [0, 3, 5, 7, 9, 15, 31, 65535]
+_STEPS_23_29 = [0, 3, 5, 65535]
+
+
+def _l2_steps(sb: int, code: int) -> int:
+    if sb < 3:
+        return _STEPS_0_2[code]
+    if sb < 11:
+        return _STEPS_3_10[code]
+    if sb < 23:
+        return _STEPS_11_22[code]
+    return _STEPS_23_29[code]
+
+
+def _l2_decode_frame(bits: _Bits) -> np.ndarray:
+    """One Layer II mono frame -> (36, 32) requantized subbands."""
+    h = _parse_header(bits)
+    assert h["id"] == 1
+    assert h["layer"] == 0b10                # Layer II
+    assert h["bitrate_index"] == 6           # 96 kbps
+    assert h["sampling_frequency"] == 0b10   # 32 kHz
+    assert h["mode"] == 0b11                 # single channel
+    alloc = []
+    for sb in range(30):
+        code = bits.take(_B2B_WIDTH[sb])
+        alloc.append(_l2_steps(sb, code))
+    scfsi = [bits.take(2) if alloc[sb] else 0 for sb in range(30)]
+    sf = [[0, 0, 0] for _ in range(30)]
+    for sb in range(30):
+        if not alloc[sb]:
+            continue
+        if scfsi[sb] == 0:
+            sf[sb] = [bits.take(6), bits.take(6), bits.take(6)]
+        elif scfsi[sb] == 1:
+            a, b = bits.take(6), bits.take(6)
+            sf[sb] = [a, a, b]
+        elif scfsi[sb] == 2:
+            a = bits.take(6)
+            sf[sb] = [a, a, a]
+        else:
+            a, b = bits.take(6), bits.take(6)
+            sf[sb] = [a, b, b]
+    out = np.zeros((36, 32))
+    for gr in range(12):
+        for sb in range(30):
+            steps = alloc[sb]
+            if not steps:
+                continue
+            assert steps not in (3, 5, 9), \
+                "encoder's fixed scheme never emits grouped classes"
+            nb = (steps + 1).bit_length() - 1
+            for i in range(3):
+                r = 3 * gr + i
+                c = bits.take(nb)
+                s3 = c / (1 << (nb - 1)) - 1.0
+                s2 = ((1 << nb) / ((1 << nb) - 1.0)) * \
+                    (s3 + 2.0 ** (1 - nb))
+                out[r, sb] = s2 * _SF[sf[sb][r // 12]]
+    return out
+
+
+def test_l2_frame_structure_and_sync():
+    from sdrtrunk_tpu.audio.mpeg import L2_FRAME_BYTES, MpegLayer2Encoder
+    enc = MpegLayer2Encoder(pcm_rate=8000.0)
+    pcm = 0.5 * np.sin(2 * np.pi * 700.0 * np.arange(8000) / 8000.0)
+    data = enc.encode(pcm.astype(np.float32))
+    assert len(data) % L2_FRAME_BYTES == 0 and len(data) > 0
+    for off in range(0, len(data), L2_FRAME_BYTES):
+        assert data[off] == 0xFF and (data[off + 1] >> 4) == 0xF
+        assert (data[off + 1] >> 1) & 3 == 0b10     # layer II
+
+
+def test_l2_independent_decoder_reconstructs_audio():
+    from sdrtrunk_tpu.audio.mpeg import L2_FRAME_BYTES, MpegLayer2Encoder
+    enc = MpegLayer2Encoder(pcm_rate=8000.0)
+    t = np.arange(16000) / 8000.0
+    pcm = (0.45 * np.sin(2 * np.pi * 700.0 * t)
+           + 0.2 * np.sin(2 * np.pi * 1675.0 * t)).astype(np.float32)
+    data = enc.encode(pcm)
+    bits = _Bits(data)
+    frames = []
+    while bits.pos + L2_FRAME_BYTES * 8 <= len(bits.bits):
+        start = bits.pos
+        frames.append(_l2_decode_frame(bits))
+        bits.pos = start + L2_FRAME_BYTES * 8
+    sub = np.concatenate(frames)
+    audio = _synthesis(sub)
+
+    settle = 4096
+    seg = audio[settle:settle + 32768]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    freqs = np.fft.rfftfreq(len(seg), 1 / 32000.0)
+    p700 = spec[np.argmin(np.abs(freqs - 700.0))]
+    p1675 = spec[np.argmin(np.abs(freqs - 1675.0))]
+    noise = np.median(spec)
+    assert p700 > 50 * noise and p1675 > 20 * noise
+    assert abs(freqs[np.argmax(spec)] - 700.0) < 16.0
+    t32 = np.arange(len(seg)) / 32000.0
+    best_snr = -99.0
+    for lag in range(0, 640):
+        ref = (0.45 * np.sin(2 * np.pi * 700.0
+                             * (t32 + (settle + lag) / 32000.0))
+               + 0.2 * np.sin(2 * np.pi * 1675.0
+                              * (t32 + (settle + lag) / 32000.0)))
+        scale = np.dot(seg, ref) / np.dot(ref, ref)
+        err = seg - scale * ref
+        snr = 10 * np.log10(np.dot(seg, seg) / max(np.dot(err, err),
+                                                   1e-12))
+        best_snr = max(best_snr, snr)
+    # 10-bit Layer II quantization should beat the Layer I 5-bit floor
+    assert best_snr > 20.0, f"L2 reconstruction SNR {best_snr:.1f} dB"
+
+
 def test_iso_requant_grid_roundtrip():
     """Encoder codes land exactly on the ISO decoder's requantization
     grid (no half-step DC bias)."""

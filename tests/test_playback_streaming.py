@@ -167,3 +167,49 @@ class TestBroadcastify:
             "K", 1, lambda *a: "0 https://u", lambda *a: 500)
         assert c2.upload(b"x", talkgroup=1) == "error"
         assert c2.errors == 1
+
+
+class TestIcecastMpegEgress:
+    def test_icecast_e2e_layer2_stream_decodes(self):
+        """End-to-end egress interop (VERDICT r4 item 7): a call
+        segment streamed through the Icecast source client as MPEG
+        Layer II must be a bitstream the independent ISO-text decoder
+        (tests/test_mpeg_interop.py) reconstructs to the original
+        tone."""
+        from sdrtrunk_tpu.audio.mpeg import L2_FRAME_BYTES
+        from sdrtrunk_tpu.audio.mpeg import mpeg_layer2_encoder
+        from sdrtrunk_tpu.audio.streaming import (AudioStreamingManager,
+                                                  IcecastSourceClient,
+                                                  StreamConfig)
+        from test_mpeg_interop import _Bits, _l2_decode_frame, _synthesis
+
+        sock = FakeSocket(b"HTTP/1.1 100 Continue\r\n\r\n")
+        client = IcecastSourceClient(
+            StreamConfig(name="feed", password="pw"),
+            lambda h, p: sock)
+        assert client.connect()
+        header_len = len(sock.sent)
+
+        mgr = AudioStreamingManager(client,
+                                    encoder=mpeg_layer2_encoder)
+        seg = AudioSegment(start_time=0.0, sample_rate=8000.0)
+        t = np.arange(16000) / 8000.0
+        seg.add_audio((0.4 * np.sin(2 * np.pi * 700.0 * t)
+                       ).astype(np.float32))
+        seg.complete_segment()
+        mgr.receive(seg)
+        assert mgr.process(now=10.0) == 1
+
+        payload = sock.sent[header_len:]
+        assert len(payload) >= L2_FRAME_BYTES
+        bits = _Bits(payload)
+        frames = []
+        while bits.pos + L2_FRAME_BYTES * 8 <= len(bits.bits):
+            start = bits.pos
+            frames.append(_l2_decode_frame(bits))
+            bits.pos = start + L2_FRAME_BYTES * 8
+        audio = _synthesis(np.concatenate(frames))
+        segm = audio[4096:4096 + 16384]
+        spec = np.abs(np.fft.rfft(segm * np.hanning(len(segm))))
+        freqs = np.fft.rfftfreq(len(segm), 1 / 32000.0)
+        assert abs(freqs[np.argmax(spec)] - 700.0) < 16.0
