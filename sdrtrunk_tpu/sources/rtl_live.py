@@ -47,14 +47,26 @@ class RtlLiveTuner(TunerController):
     def __init__(self, transport, sample_rate: int = 2_400_000,
                  frequency: float = 450_000_000.0,
                  ring_seconds: float = 2.0,
-                 transfer_bytes: int = 262_144):
+                 transfer_bytes: int = 262_144,
+                 tuner_chip: str = "r820t"):
         self.transport = transport
         self.rtl = RTL2832Controller(transport)
-        self.r820t = R820TController(self.rtl)
+        if tuner_chip == "e4k":
+            from .e4k import (E4K_MAX_FREQUENCY, E4K_MIN_FREQUENCY,
+                              E4KController)
+            self.tuner_chip = E4KController(self.rtl)
+            fmin, fmax = float(E4K_MIN_FREQUENCY), float(E4K_MAX_FREQUENCY)
+            name = "RTL-2832/E4000"
+        else:
+            self.tuner_chip = R820TController(self.rtl)
+            fmin, fmax = (float(R820T_MIN_FREQUENCY),
+                          float(R820T_MAX_FREQUENCY))
+            name = "RTL-2832/R820T"
+        self.r820t = self.tuner_chip     # backward-compatible alias
         spec = TunerSpec(
-            name="RTL-2832/R820T",
-            minimum_frequency=float(R820T_MIN_FREQUENCY),
-            maximum_frequency=float(R820T_MAX_FREQUENCY),
+            name=name,
+            minimum_frequency=fmin,
+            maximum_frequency=fmax,
             sample_rates=tuple(float(r)
                                for r in sorted(SAMPLE_RATE_RATIOS)),
             usable_fraction=0.8,    # edge rolloff of the resampler
@@ -67,8 +79,11 @@ class RtlLiveTuner(TunerController):
         self.rtl.write_fir()
         actual = self.rtl.set_sample_rate(int(sample_rate))
         self._sample_rate = float(actual)
-        self.r820t.init_registers()
-        self.r820t.set_frequency(int(frequency))
+        if tuner_chip == "e4k":
+            self.tuner_chip.init_tuner()
+        else:
+            self.tuner_chip.init_registers()
+        self.tuner_chip.set_frequency(int(frequency))
         self.ring = IqRingBuffer(int(ring_seconds * actual))
         self._dropped_total = 0
         self._started = False
@@ -82,8 +97,7 @@ class RtlLiveTuner(TunerController):
     def _on_bytes(self, raw: bytes) -> None:
         pairs = convert_u8_iq(raw)           # float32 interleaved I,Q
         n = (len(pairs) // 2) * 2
-        iq = pairs[:n].reshape(-1, 2)
-        self.ring.write((iq[:, 0] + 1j * iq[:, 1]).astype(np.complex64))
+        self.ring.write(pairs[:n].reshape(-1, 2))
 
     # -- TunerController overrides ---------------------------------------
 
@@ -121,10 +135,11 @@ class RtlLiveTuner(TunerController):
         out = np.empty(num_samples, np.complex64)
         got = 0
         while got < num_samples:
-            chunk = self.ring.read(num_samples - got)
-            if len(chunk):
-                out[got:got + len(chunk)] = chunk
-                got += len(chunk)
+            pairs = self.ring.read(num_samples - got)   # (n, 2) float32
+            if len(pairs):
+                n = len(pairs)
+                out.view(np.float32).reshape(-1, 2)[got:got + n] = pairs
+                got += n
                 continue
             if self._eos.is_set() or \
                     self.streamer.processor.state == TransferState.ERROR:

@@ -196,3 +196,154 @@ class TestTransferProcessor:
             tp.on_complete(False)
             tp.on_complete(True)
         assert tp.state == TransferState.RUNNING
+
+
+class TestE4K:
+    """E4K control plane vs the reference's register semantics
+    (E4KTunerController.java; completes the RTL tuner matrix)."""
+
+    def _controller(self):
+        from sdrtrunk_tpu.sources.e4k import E4K_I2C_ADDRESS, E4KController
+        # PLL lock bit set on every I2C read-back
+        t = RecordingTransport(
+            responses={(0, E4K_I2C_ADDRESS, 0x600): b"\x01"})
+        return E4KController(RTL2832Controller(t)), t
+
+    def test_pll_solution_100mhz(self):
+        from sdrtrunk_tpu.sources.e4k import e4k_pll_solution
+        sol = e4k_pll_solution(100_000_000)
+        # 100 MHz < 108.3 -> index 0x0D, scaled osc 900 kHz
+        assert sol["index"] == 0x0D
+        assert sol["scaled_oscillator"] == 900_000
+        assert sol["z"] == 100_000_000 // 900_000
+        # z*scaled + x/65536*scaled reproduces the frequency within one
+        # fractional step
+        assert abs(sol["actual"] - 100_000_000) <= 900_000 / 65536 + 1
+        assert sol["three_phase"]
+
+    def test_pll_52mhz_rounding_hack(self):
+        from sdrtrunk_tpu.sources.e4k import (E4K_MIN_FREQUENCY,
+                                              e4k_pll_solution)
+        sol = e4k_pll_solution(52_000_000)
+        # setTunedFrequency:379-386: x bumps so actual >= 52 MHz
+        assert sol["actual"] >= E4K_MIN_FREQUENCY
+
+    def test_band_and_filter_selection(self):
+        from sdrtrunk_tpu.sources.e4k import e4k_band, e4k_rf_filter
+        assert e4k_band(100e6) == 0          # VHF2
+        assert e4k_band(200e6) == 2          # VHF3
+        assert e4k_band(450e6) == 4          # UHF
+        assert e4k_band(1.3e9) == 6          # L
+        assert e4k_rf_filter(100_000_000) == 0       # bypass below 350M
+        assert e4k_rf_filter(455_000_000) == 4       # M450 437.5-462.5M
+        assert e4k_rf_filter(1_400_000_000) == 3     # M1410
+
+    def test_set_frequency_register_sequence(self):
+        from sdrtrunk_tpu.sources.e4k import (BIAS, SYNTH1, SYNTH3,
+                                              SYNTH4, SYNTH5, SYNTH7,
+                                              e4k_pll_solution)
+        e4k, t = self._controller()
+        actual = e4k.set_frequency(460_000_000)
+        sol = e4k_pll_solution(460_000_000)
+        assert actual == sol["actual"]
+        # i2c writes carry [register, value] payloads at the E4K address
+        seq = [(tr.data[0], tr.data[1]) for tr in t.writes()
+               if tr.value == 0xC8 and len(tr.data) == 2]
+        assert (SYNTH7, sol["index"]) in seq
+        assert (SYNTH3, sol["z"]) in seq
+        assert (SYNTH4, sol["x"] & 0xFF) in seq
+        assert (SYNTH5, (sol["x"] >> 8) & 0xFF) in seq
+        # UHF band: bias 0x3, SYNTH1 band bits reset then set to 4
+        assert (BIAS, 0x3) in seq
+        s1 = [v for r, v in seq if r == SYNTH1]
+        assert s1[-2:] == [0x00, 0x04]
+
+    def test_pll_lock_failure_raises(self):
+        from sdrtrunk_tpu.sources.e4k import E4K_I2C_ADDRESS, E4KController
+        t = RecordingTransport(
+            responses={(0, E4K_I2C_ADDRESS, 0x600): b"\x00"})
+        e4k = E4KController(RTL2832Controller(t))
+        with pytest.raises(RuntimeError, match="lock"):
+            e4k.set_frequency(460_000_000)
+
+    def test_frequency_range_guard(self):
+        e4k, _ = self._controller()
+        with pytest.raises(ValueError):
+            e4k.set_frequency(10_000_000)
+        with pytest.raises(ValueError):
+            e4k.set_frequency(3_000_000_000)
+
+    def test_init_sequence(self):
+        from sdrtrunk_tpu.sources.e4k import (AGC4, AGC5, AGC6, CLKOUT_PWDN,
+                                              MASTER1)
+        e4k, t = self._controller()
+        e4k.init_tuner()
+        seq = [(tr.data[0], tr.data[1]) for tr in t.writes()
+               if tr.value == 0xC8 and len(tr.data) == 2]
+        assert seq[0] == (MASTER1, 0x07)     # reset | stby | por
+        assert (CLKOUT_PWDN, 0x96) in seq
+        assert (AGC4, 0x10) in seq and (AGC5, 0x04) in seq \
+            and (AGC6, 0x1A) in seq
+
+    def test_bandwidth_filter(self):
+        from sdrtrunk_tpu.sources.e4k import FILT2, FILT3
+        e4k, t = self._controller()
+        e4k.set_bandwidth(2_400_000)
+        seq = [(tr.data[0], tr.data[1]) for tr in t.writes()
+               if tr.value == 0xC8 and len(tr.data) == 2]
+        # 2.4 MHz falls in the 2.5 MHz mixer filter class (0xE0)
+        assert (FILT2, 0xE0) in seq
+        assert (FILT3, 0x00) in seq          # channel filter enabled
+
+
+class TestRtlLiveTuner:
+    """The streaming RTL source: control-plane bring-up + bulk ingest
+    through the overflow ring into _read_chunk, on a fake transport."""
+
+    class _FakeTransport(RecordingTransport):
+        def __init__(self, responses=None):
+            super().__init__(responses=responses)
+            rng = __import__("numpy").random.default_rng(0)
+            self._chunks = 0
+            self._rng = rng
+
+        def bulk_read(self, endpoint, length):
+            import numpy as np
+            self._chunks += 1
+            if self._chunks > 50:          # bounded stream for the test
+                import time
+                time.sleep(0.005)
+                return b""
+            return self._rng.integers(0, 256, length,
+                                      dtype=np.uint8).tobytes()
+
+        def clear_halt(self, endpoint):
+            pass
+
+    def test_r820t_live_read(self):
+        import numpy as np
+        from sdrtrunk_tpu.sources.rtl_live import RtlLiveTuner
+        t = self._FakeTransport()
+        tuner = RtlLiveTuner(t, sample_rate=2_400_000,
+                             frequency=450e6, ring_seconds=0.5)
+        chunk = tuner._read_chunk(8192)
+        tuner.stop()
+        assert chunk is not None and len(chunk) == 8192
+        assert chunk.dtype == np.complex64
+        # u8 conversion centers around zero
+        assert abs(float(np.mean(chunk.real))) < 0.05
+        assert float(np.std(chunk.real)) > 0.1
+
+    def test_e4k_live_bringup(self):
+        from sdrtrunk_tpu.sources.e4k import E4K_I2C_ADDRESS, SYNTH7
+        from sdrtrunk_tpu.sources.rtl_live import RtlLiveTuner
+        t = self._FakeTransport(
+            responses={(0, E4K_I2C_ADDRESS, 0x600): b"\x01"})
+        tuner = RtlLiveTuner(t, sample_rate=2_400_000,
+                             frequency=460e6, ring_seconds=0.5,
+                             tuner_chip="e4k")
+        tuner.stop()
+        assert tuner.spec.name == "RTL-2832/E4000"
+        seq = [(tr.data[0], tr.data[1]) for tr in t.writes()
+               if tr.value == E4K_I2C_ADDRESS and len(tr.data) == 2]
+        assert any(r == SYNTH7 for r, _ in seq)   # PLL got programmed
