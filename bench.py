@@ -314,7 +314,8 @@ def bench_digital_protocols(m: int = 1024, blocks: int = 5120,
 
 
 def bench_orchestrator_bank(slots: int = 1023, timed_chunks: int = 4,
-                            chunk_blocks: int = 5120) -> dict:
+                            chunk_blocks: int = 5120,
+                            ingest: str = "auto") -> dict:
     """The 1000-channel LIVE target end-to-end (BASELINE.json north
     star): 12.8 MHz wideband, every usable bin carrying a real P25P1
     voice superframe stream, int8 IQ ingested over the tunnel, the
@@ -388,7 +389,8 @@ def bench_orchestrator_bank(slots: int = 1023, timed_chunks: int = 4,
 
     orch = Orchestrator(source, fs, 460e6, [offsets[0]], slots=slots,
                         decoder="c4fm", chunk_samples=chunk,
-                        idle_teardown_seconds=1e9, ppm_correction=False)
+                        idle_teardown_seconds=1e9, ppm_correction=False,
+                        ingest_format=ingest)
     for off in offsets[1:]:
         orch._activate(460e6 + off, IdentifierCollection())
     assert sum(s.active for s in orch.slots) == slots
@@ -410,7 +412,9 @@ def bench_orchestrator_bank(slots: int = 1023, timed_chunks: int = 4,
         "chunks": timed_chunks,
         "frames_decoded": int(frames),
         "audio_segments": len(orch.audio_segments),
-        "ingest_format": "int8 IQ pairs (25.6 MB/s at 12.8 MHz)",
+        "ingest_format": (
+            "packed int4 IQ (12.8 MB/s at 12.8 MHz)" if ingest == "int4"
+            else "int8 IQ pairs (25.6 MB/s at 12.8 MHz)"),
     }
 
 
@@ -1006,12 +1010,17 @@ def main():
         # honest one
         orchestrator_bank = run_isolated(
             "bench_orchestrator_bank(timed_chunks=6)")
+        # slow-link wire format: 4-bit packed ingest halves tunnel
+        # bytes so the live loop clears 1x even at ~P10 bandwidth
+        orchestrator_bank_int4 = run_isolated(
+            "bench_orchestrator_bank(timed_chunks=6, ingest='int4')")
         orchestrator_bank_nbfm = run_isolated(
             "bench_orchestrator_bank_nbfm(timed_chunks=6)")
         orchestrator_bank_dmr = run_isolated(
             "bench_orchestrator_bank_dmr(timed_chunks=6)")
     if small:
-        orchestrator_bank_dmr = {"skipped": "small"}
+        orchestrator_bank_dmr = orchestrator_bank_int4 = \
+            {"skipped": "small"}
     if small:
         protocols = pallas_cmp = {"skipped": "small"}
     else:
@@ -1041,6 +1050,7 @@ def main():
             "mfu": roofline_nbfm(rx, nbfm["msps"])["mfu"],
             "orchestrator": orchestrator,
             "orchestrator_bank_c4fm_1023": orchestrator_bank,
+            "orchestrator_bank_c4fm_int4_1023": orchestrator_bank_int4,
             "orchestrator_bank_nbfm_1023": orchestrator_bank_nbfm,
             "orchestrator_bank_dmr_1023": orchestrator_bank_dmr,
             "digital_protocols": protocols,
@@ -1067,6 +1077,8 @@ def main():
         "c4fm_msps": c4fm["msps"],
         "mfu": roofline_nbfm(rx, nbfm["msps"])["mfu"],
         "live_c4fm_rt": orchestrator_bank.get("realtime_factor"),
+        "live_c4fm_int4_rt": orchestrator_bank_int4.get(
+            "realtime_factor"),
         "live_c4fm_tunnel": (orchestrator_bank.get("tunnel") or {}
                              ).get("h2d_mbps"),
         "live_nbfm_rt": orchestrator_bank_nbfm.get("realtime_factor"),

@@ -118,3 +118,28 @@ def write_real_wave(path, samples: np.ndarray, sample_rate: int) -> None:
         wf.setsampwidth(2)
         wf.setframerate(int(sample_rate))
         wf.writeframes(_to_pcm16(np.asarray(samples)).tobytes())
+
+
+class ComplexWaveWriter:
+    """Streaming IQ WAV writer for mid-run recording taps (the role of
+    record/wave/ComplexBufferWaveRecorder.java:42 — append complex
+    chunks while a capture runs, finalize the header on close)."""
+
+    def __init__(self, path, sample_rate: int):
+        self._wf = _wave.open(str(path), "wb")
+        self._wf.setnchannels(2)
+        self._wf.setsampwidth(2)
+        self._wf.setframerate(int(sample_rate))
+        self.samples_written = 0
+
+    def write(self, iq: np.ndarray) -> None:
+        iq = np.asarray(iq)
+        if np.iscomplexobj(iq):
+            frames = np.stack([iq.real, iq.imag], axis=-1)
+        else:                         # already (n, 2) float pairs
+            frames = iq
+        self._wf.writeframes(_to_pcm16(frames).tobytes())
+        self.samples_written += len(frames)
+
+    def close(self) -> None:
+        self._wf.close()

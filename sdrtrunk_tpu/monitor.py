@@ -133,10 +133,21 @@ class MonitorSession:
             event_log_path=event_log_path,
             control_rotation=control_rotation,
             metrics_sink=self._on_metrics)
-        for (off, kind, name), slot in zip(
-                self.plan["controls"],
-                [s for s in self.orch.slots if s.is_control]):
+        control_slots = [s for s in self.orch.slots if s.is_control]
+        for (off, kind, name), slot in zip(self.plan["controls"],
+                                           control_slots):
             slot.name = name            # playlist channel name for status
+
+        # per-channel RecordConfig -> live recorder taps
+        # (record/wave/ComplexBufferWaveRecorder + BinaryRecorder roles)
+        enabled = [c for c in playlist.channels if c.enabled]
+        rec_dir = self.audio_dir or Path(".")
+        for cfg, slot in zip(enabled, control_slots):
+            if cfg.record.demodulated_bits:
+                self.orch.start_bits_recording(
+                    slot.index, rec_dir / f"{cfg.name}.bits")
+            if cfg.record.baseband_iq and self.orch._iq_writer is None:
+                self.orch.start_iq_recording(rec_dir / "wideband_iq.wav")
 
     # -- per-chunk hook ---------------------------------------------------
 
@@ -181,11 +192,15 @@ class MonitorSession:
             pipelined: bool = True) -> dict:
         """Run to source exhaustion / stop(); returns the summary dict."""
         self.orch.run(max_chunks=max_chunks, pipelined=pipelined)
-        # end of stream: flush open calls into segments, deliver them
+        # end of stream: flush open calls into segments, deliver them,
+        # finalize any recording taps
         for slot in self.orch.slots:
             if slot.active:
                 self.orch._slot_flush_drain(slot)
         self._drain_audio()
+        for idx in list(self.orch._bits_recorders):
+            self.orch.stop_bits_recording(idx)
+        self.orch.stop_iq_recording()
         return self.summary()
 
     def summary(self) -> dict:

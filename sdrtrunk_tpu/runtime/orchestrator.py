@@ -92,7 +92,8 @@ class Orchestrator:
                  event_log_path=None,
                  bank_mode: bool | None = None,
                  banks=None,
-                 channel_map=None):
+                 channel_map=None,
+                 ingest_format: str = "auto"):
         """control_rotation: optional list of absolute candidate control
         frequencies — while the control slot fails to reach CONTROL
         state within rotation_delay, cycle through them
@@ -106,6 +107,15 @@ class Orchestrator:
         The control slot(s) live in the FIRST bank; grants activate free
         slots of that same kind. channel_map: FrequencyBand for MPT1327
         control slots (the reference's user channel map).
+
+        ingest_format: 'auto' passes the source's format through (int8
+        pairs / float pairs / complex). 'int4' requantizes ingest to
+        PACKED 4-bit IQ (one byte/sample, 12.8 MB/s at 12.8 MHz) on
+        the host and dequantizes on device — for constant-envelope FM
+        families the ~25 dB quantization floor is far above the decode
+        threshold (parity asserted in tests/test_orchestrator_bank),
+        and the live loop stays realtime on links too slow for int8
+        (VERDICT r4 item 6; production PCIe ingest keeps int8).
 
         control_offsets_hz entries may also be (offset_hz, kind) pairs:
         with `banks`, such an entry pins its slot in the named protocol
@@ -136,6 +146,9 @@ class Orchestrator:
 
         self.channel_bandwidth = float(channel_bandwidth)
         self.decoder_name = decoder
+        if ingest_format not in ("auto", "int4"):
+            raise ValueError(f"unknown ingest_format {ingest_format!r}")
+        self.ingest_format = ingest_format
         if self.banks is not None:
             self.rx = MultibankReceiver(
                 sample_rate, self.banks,
@@ -254,6 +267,11 @@ class Orchestrator:
         self.now = 0.0
         self.samples_processed = 0
         self._last_upload: tuple[float, int] | None = None
+        # live recording taps (ComplexBufferWaveRecorder.java:42 /
+        # BinaryRecorder.java:51 roles): wideband IQ + per-slot dibits
+        # can start/stop mid-run
+        self._iq_writer = None
+        self._bits_recorders: dict[int, object] = {}
         self.audio_segments: list = []
         self.skipped_grants: list[float] = []
         self.error_state: str | None = None
@@ -286,7 +304,15 @@ class Orchestrator:
         def ingest(x):
             # 8-bit IQ pairs are the live wire format (an RTL dongle's
             # native stream, and all the ~50 MB/s tunnel can carry at
-            # 12.8 MHz); float pairs / complex accepted too
+            # 12.8 MHz); float pairs / complex accepted too. uint8 is
+            # PACKED 4-bit IQ (high nibble I, low nibble Q, two's
+            # complement): one byte/sample for slow links
+            if x.dtype == jnp.uint8:
+                xi = x.astype(jnp.int32)
+                i4 = (((xi >> 4) + 8) & 15) - 8
+                q4 = (((xi & 15) + 8) & 15) - 8
+                return jnp.stack([i4, q4], axis=-1).astype(jnp.float32) \
+                    * (16.0 / 127.0)
             if x.dtype == jnp.int8:
                 return x.astype(jnp.float32) * (1.0 / 127.0)
             return x
@@ -677,16 +703,63 @@ class Orchestrator:
                 self._slot_flush_drain(slot)
                 slot.active = False
 
+    # --- live recording taps -------------------------------------------
+
+    def start_iq_recording(self, path) -> None:
+        """Record the wideband capture as an IQ wave while running
+        (record/wave/ComplexBufferWaveRecorder.java:42). Tap sits at
+        ingest, before any wire requantization."""
+        from ..io.wave import ComplexWaveWriter
+        self.stop_iq_recording()
+        self._iq_writer = ComplexWaveWriter(path, int(self.sample_rate))
+
+    def stop_iq_recording(self) -> None:
+        if self._iq_writer is not None:
+            self._iq_writer.close()
+            self._iq_writer = None
+
+    def start_bits_recording(self, slot_index: int, path) -> None:
+        """Record a slot's demodulated dibit stream mid-run as a
+        reference-format .bits file (record/binary/BinaryRecorder
+        .java:51)."""
+        from ..audio.recorder import BitsRecorder
+        self.stop_bits_recording(slot_index)
+        self._bits_recorders[slot_index] = BitsRecorder(path)
+
+    def stop_bits_recording(self, slot_index: int) -> None:
+        rec = self._bits_recorders.pop(slot_index, None)
+        if rec is not None:
+            rec.close()
+
+    def _tap_bits_bank(self, dib4: np.ndarray,
+                       counts: np.ndarray) -> None:
+        from .bank_processor import unpack_dibits
+        for idx, rec in self._bits_recorders.items():
+            row = unpack_dibits(dib4[idx:idx + 1])[0]
+            rec.write(row[: int(counts[idx])])
+
     # --- data plane ----------------------------------------------------
 
-    @staticmethod
-    def _prepare(iq: np.ndarray) -> np.ndarray:
-        """Host-side wire format: float32 (n, 2) pairs, or int8 (n, 2)
-        passed through raw (the device converts; at 12.8 MHz the
+    def _prepare(self, iq: np.ndarray) -> np.ndarray:
+        """Host-side wire format: float32 (n, 2) pairs, int8 (n, 2)
+        passed through raw, or packed 4-bit uint8 (n,) when
+        ingest_format='int4' (the device converts; at 12.8 MHz the
         ~50 MB/s tunnel cannot carry float pairs)."""
         iq = np.asarray(iq)
+        if self._iq_writer is not None:
+            self._iq_writer.write(
+                iq.astype(np.float32) / 127.0 if iq.dtype == np.int8
+                else iq)
         if np.iscomplexobj(iq):     # complex never crosses the boundary
             iq = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+        if self.ingest_format == "int4":
+            if iq.dtype == np.int8:
+                v = np.clip(np.round(iq.astype(np.float32) / 16.0),
+                            -8, 7).astype(np.int32)
+            else:
+                v = np.clip(np.round(iq * 7.0), -8, 7).astype(np.int32)
+            return (((v[:, 0] & 15) << 4)
+                    | (v[:, 1] & 15)).astype(np.uint8)
         return iq
 
     def _upload(self, iq: np.ndarray):
@@ -697,7 +770,9 @@ class Orchestrator:
         import time as _time
 
         import jax.numpy as jnp
-        dtype = jnp.int8 if iq.dtype == np.int8 else jnp.float32
+        dtype = {np.dtype(np.int8): jnp.int8,
+                 np.dtype(np.uint8): jnp.uint8}.get(iq.dtype,
+                                                    jnp.float32)
         t0 = _time.perf_counter()
         dev = jnp.asarray(iq, dtype)
         # wall time of the transfer enqueue — on the tunneled backend
@@ -775,6 +850,8 @@ class Orchestrator:
             return {"bank_audio": audio, "bank_gate": gate}
         dib4, hits, counts, pll_raw = self._split_packed(
             np.asarray(out["packed"]))
+        if self._bits_recorders:
+            self._tap_bits_bank(dib4, counts)
         msgs = self.bank_proc.frame_chunk(dib4, counts, hits)
         return {"bank_msgs": msgs, "counts": counts, "pll_raw": pll_raw}
 
@@ -829,8 +906,11 @@ class Orchestrator:
                         host[f"{key}/gate"][li] > 0, self.now)
                 elif sym is not None:
                     p = sym[li]
-                    n = slot.processor.process((p & 3)[(p >> 2) > 0],
-                                               self.now)
+                    slot_dib = (p & 3)[(p >> 2) > 0]
+                    rec = self._bits_recorders.get(slot.index)
+                    if rec is not None:
+                        rec.write(slot_dib)
+                    n = slot.processor.process(slot_dib, self.now)
                 else:
                     n = slot.processor.process_audio(
                         aud[li], host[f"{key}/gate"][li] > 0, self.now)
@@ -861,8 +941,11 @@ class Orchestrator:
                 if not slot.active:
                     continue
                 if digital:
-                    n = slot.processor.process(
-                        dib[slot.index][val[slot.index]], self.now)
+                    slot_dib = dib[slot.index][val[slot.index]]
+                    rec = self._bits_recorders.get(slot.index)
+                    if rec is not None:
+                        rec.write(slot_dib)
+                    n = slot.processor.process(slot_dib, self.now)
                 else:
                     n = slot.processor.process_audio(
                         audio[slot.index], gate[slot.index], self.now)

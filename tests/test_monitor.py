@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from sdrtrunk_tpu.config import (ChannelConfig, DecodeConfig, Playlist,
-                                 SourceConfig)
+                                 RecordConfig, SourceConfig)
 from sdrtrunk_tpu.monitor import plan_from_playlist
 
 from test_orchestrator import (BAUD, CENTER_HZ, CONTROL_OFF, FS,
@@ -52,7 +52,8 @@ def monitor_run(tmp_path_factory, capsys_module=None):
     playlist = Playlist(channels=[ChannelConfig(
         name="Control", system="TestSys", site="Site1",
         source=SourceConfig(frequency_hz=CENTER_HZ + CONTROL_OFF),
-        decode=DecodeConfig(decoder="p25p1"))])
+        decode=DecodeConfig(decoder="p25p1"),
+        record=RecordConfig(baseband_iq=True, demodulated_bits=True))])
     ppath = tmp / "playlist.json"
     playlist.save(ppath)
     audio_dir = tmp / "audio"
@@ -86,11 +87,34 @@ def test_monitor_outputs(monitor_run):
             pass
     assert CENTER_HZ + TRAFFIC_OFF in freqs     # granted channel seen
     # the traffic call's voice became a WAV + metadata sidecar
-    wavs = sorted(audio_dir.glob("*.wav"))
+    wavs = sorted(audio_dir.glob("call_*.wav"))
     assert wavs, list(audio_dir.iterdir())
     meta = json.loads(
         wavs[0].with_suffix(".wav.json").read_text())
     assert meta["duration"] == pytest.approx(18 * 0.020, rel=0.01)
+
+
+def test_monitor_recording_taps(monitor_run):
+    """RecordConfig flags wire the live recorder taps: the control
+    channel's dibit stream lands as a reference-format .bits file and
+    the wideband capture as an IQ wave (ComplexBufferWaveRecorder /
+    BinaryRecorder roles, live)."""
+    from sdrtrunk_tpu.audio.recorder import BitsReader
+    from sdrtrunk_tpu.io.wave import read_complex_wave
+    from sdrtrunk_tpu.protocol.p25p1 import P25P1Framer
+
+    rc, tmp, audio_dir, events = monitor_run
+    bits_path = audio_dir / "Control.bits"
+    assert bits_path.exists()
+    dibits = BitsReader.read(bits_path)
+    assert len(dibits) > 10000              # ~2.6 s at 4800 baud
+    # the recorded stream re-frames: control TSBKs are in there
+    msgs = P25P1Framer().process(dibits)
+    assert sum(1 for m in msgs if m.duid.name == "TSBK") >= 4
+
+    iq, rate = read_complex_wave(audio_dir / "wideband_iq.wav")
+    assert rate == int(FS)
+    assert len(iq) >= FS * 2.5              # nearly the whole capture
 
 
 def test_plan_single_kind():

@@ -224,3 +224,62 @@ def test_dmr_bank_grant_voice_teardown():
     assert traffic and traffic[0]["frames"] >= 6
     segs = [s for s in orch.audio_segments if s.duration > 0]
     assert segs, "DMR AMBE voice must become an AudioSegment"
+
+
+@pytest.fixture(scope="module")
+def bank_run_int4(bank_run):
+    """The SAME capture through ingest_format='int4' (packed 4-bit IQ,
+    one byte/sample): the constant-envelope C4FM scene must decode
+    identically — grant followed, same call audio — despite the ~25 dB
+    quantization floor (VERDICT r4 item 6 slow-link wire format)."""
+    duration_s = 2.6
+    total_dibits = int(duration_s * to.BAUD)
+    rng = np.random.default_rng(7)
+    voice = [rng.integers(0, 2, (9, 144)).astype(np.uint8)
+             for _ in range(2)]
+    n = None
+    wide = None
+    for offset, dibits in (
+            (to.CONTROL_OFF, to._control_stream(total_dibits)),
+            (to.TRAFFIC_OFF, to._traffic_stream(total_dibits, voice))):
+        iq = generators.c4fm_modulate(dibits, to.FS)
+        if wide is None:
+            n = len(iq) // 64 * 64
+            wide = np.zeros(n, np.complex64)
+        t = np.arange(n) / to.FS
+        wide += (iq[:n] * np.exp(2j * np.pi * offset * t)
+                 ).astype(np.complex64)
+    scale = float(np.max(np.abs(np.stack([wide.real, wide.imag]))))
+    iq8 = np.clip(np.stack([wide.real, wide.imag], -1) / scale * 120.0,
+                  -127, 127).astype(np.int8)
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        chunk = iq8[pos:pos + num]
+        pos += num
+        return chunk if len(chunk) else None
+
+    orch = Orchestrator(
+        source, to.FS, to.CENTER_HZ, [to.CONTROL_OFF], slots=4,
+        chunk_samples=64 * 256, idle_teardown_seconds=0.6,
+        bank_mode=True, ingest_format="int4")
+    orch.run()
+    return orch
+
+
+def test_int4_ingest_decodes_like_int8(bank_run, bank_run_int4):
+    ref, _, _ = bank_run
+    orch = bank_run_int4
+    freq = to.CENTER_HZ + to.TRAFFIC_OFF
+    assert not orch.skipped_grants
+    assert [e for e in orch.events
+            if e.frequency_hz == pytest.approx(freq)]
+    segs = [s for s in orch.audio_segments if s.duration > 0]
+    ref_segs = [s for s in ref.audio_segments if s.duration > 0]
+    assert len(segs) == len(ref_segs) == 1
+    assert segs[0].duration == pytest.approx(ref_segs[0].duration)
+    # frame counts within a frame of the int8 run (acquisition edges)
+    f4 = sum(s["frames"] for s in orch.channel_status())
+    f8 = sum(s["frames"] for s in ref.channel_status())
+    assert f4 >= f8 - 2, (f4, f8)
