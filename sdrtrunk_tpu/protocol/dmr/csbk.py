@@ -16,29 +16,40 @@ from ..edac.crc import DMR_MASK_CSBK, check_crc16_ccitt, crc16_ccitt
 
 __all__ = ["CSBK", "csbk_encode", "csbk_decode", "CSBKO_NAMES"]
 
+# opcode -> name per the reference's standard table
+# (message/data/csbk/Opcode.java:37-68, ETSI TS 102 361-2/4 CSBKO)
 CSBKO_NAMES = {
-    0x01: "UNIT_TO_UNIT_SERVICE_REQUEST",
-    0x02: "UNIT_TO_UNIT_ANSWER_RESPONSE",
-    0x03: "CHANNEL_TIMING",
+    0x03: "FEATURE_NOT_SUPPORTED",
+    0x04: "UNIT_TO_UNIT_VOICE_SERVICE_REQUEST",
+    0x05: "UNIT_TO_UNIT_VOICE_SERVICE_RESPONSE",
+    0x07: "CHANNEL_TIMING",
     0x19: "ALOHA",
-    0x1A: "UDT_DOWNLINK_HEADER",
+    0x1A: "UDT_OUTBOUND_HEADER",
+    0x1B: "UDT_INBOUND_HEADER",
     0x1C: "AHOY",
-    0x1E: "ACKVITATION",
+    0x1E: "ACTIVATION",
     0x1F: "RANDOM_ACCESS_SERVICE_REQUEST",
     0x20: "ACKNOWLEDGE_RESPONSE_OUTBOUND_TSCC",
     0x21: "ACKNOWLEDGE_RESPONSE_INBOUND_TSCC",
+    0x22: "ACKNOWLEDGE_RESPONSE_OUTBOUND_PAYLOAD",
+    0x23: "ACKNOWLEDGE_RESPONSE_INBOUND_PAYLOAD",
+    0x24: "UDT_DGNA_OUTBOUND_HEADER",
+    0x25: "UDT_DGNA_INBOUND_HEADER",
     0x26: "NEGATIVE_ACKNOWLEDGE_RESPONSE",
-    0x28: "MAINTENANCE",
+    0x28: "ANNOUNCEMENT",
+    0x2A: "MAINTENANCE",
     0x2E: "CLEAR",
     0x2F: "PROTECT",
     0x30: "PRIVATE_VOICE_CHANNEL_GRANT",
     0x31: "TALKGROUP_VOICE_CHANNEL_GRANT",
-    0x32: "PRIVATE_BROADCAST_VOICE_CHANNEL_GRANT",
+    0x32: "BROADCAST_TALKGROUP_VOICE_CHANNEL_GRANT",
     0x33: "PRIVATE_DATA_CHANNEL_GRANT_SINGLE_ITEM",
     0x34: "TALKGROUP_DATA_CHANNEL_GRANT_SINGLE_ITEM",
-    0x38: "C_BCAST",
-    0x39: "P_MAINTENANCE",
-    0x3A: "P_CLEAR",
+    0x35: "DUPLEX_PRIVATE_VOICE_CHANNEL_GRANT",
+    0x36: "DUPLEX_PRIVATE_DATA_CHANNEL_GRANT",
+    0x37: "PRIVATE_DATA_CHANNEL_GRANT_MULTI_ITEM",
+    0x38: "TALKGROUP_DATA_CHANNEL_GRANT_MULTI_ITEM",
+    0x39: "MOVE_TSCC",
     0x3D: "PREAMBLE",
 }
 
@@ -62,6 +73,14 @@ class CSBK:
                 return name
             return f"FID_{self.fid:02X}_CSBKO_{self.opcode:02X}"
         return CSBKO_NAMES.get(self.opcode, f"CSBKO_{self.opcode:02X}")
+
+    @property
+    def known(self) -> bool:
+        """Opcode resolved to a named structure (coverage counter)."""
+        if self.fid != 0:
+            from .csbk_vendor import vendor_csbk_name
+            return vendor_csbk_name(self.fid, self.opcode) is not None
+        return self.opcode in CSBKO_NAMES
 
 
 def csbk_encode(opcode: int, data: np.ndarray, fid: int = 0,

@@ -41,18 +41,25 @@ class LRRPPacketType(enum.IntEnum):
 # following length octet) — TokenType.java's table
 TOKEN_SPECS: dict[int, tuple[str, int]] = {
     0x22: ("IDENTITY", -1),
-    0x23: ("UNKNOWN_23", 2),
+    0x23: ("UNKNOWN_23", 1),
     0x31: ("TRIGGER_PERIODIC", 1),
     0x34: ("TIMESTAMP", 5),
     0x36: ("VERSION", 1),
     0x37: ("RESPONSE", -1),
     0x38: ("SUCCESS", 0),
+    0x3A: ("REQUEST_3A", 0),
     0x42: ("TRIGGER_GPIO", 0),
     0x4A: ("TRIGGER_DISTANCE", 1),
+    0x50: ("ALTITUDE_ACCURACY", 0),
     0x51: ("CIRCLE_2D", 10),
+    0x52: ("TIME", 0),
+    0x54: ("ALTITUDE", 0),
     0x55: ("CIRCLE_3D", 15),
     0x56: ("HEADING", 1),
+    0x57: ("HORIZONTAL_DIRECTION", 0),
     0x61: ("REQUEST_61", 1),
+    0x62: ("REQUEST_62", 0),
+    0x64: ("REQUEST_64", 0),
     0x66: ("POINT_2D", 8),
     0x69: ("POINT_3D", 11),
     0x6C: ("SPEED", 2),

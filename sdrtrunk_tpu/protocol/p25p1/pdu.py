@@ -226,6 +226,9 @@ def pdu_dispatch(header: PDUHeader, payload: bytes):
             and (payload[0] >> 4) == 4:
         from ..ip import parse_ipv4
         return parse_ipv4(payload)
+    if header.sap == 6:                  # SNDCP_PACKET_DATA_CONTROL
+        from .sndcp import parse_sndcp
+        return parse_sndcp(payload, header.outbound)
     return None
 
 

@@ -147,6 +147,16 @@ class TSBK:
         table = OSP_OPCODES if self.direction == "outbound" else ISP_OPCODES
         return table.get(self.opcode, f"OPCODE_{self.opcode:02X}")
 
+    @property
+    def known(self) -> bool:
+        """Whether the opcode resolved to a named structure — unknown
+        rates feed the coverage counter (VERDICT r4 item 10)."""
+        if self.mfid not in (0x00, 0x01):
+            from .tsbk_vendor import vendor_opcode_name
+            return vendor_opcode_name(self.mfid, self.opcode) is not None
+        table = OSP_OPCODES if self.direction == "outbound" else ISP_OPCODES
+        return self.opcode in table
+
 
 def tsbk_encode(opcode: int, args: np.ndarray, mfid: int = 0,
                 last_block: bool = True, protected: bool = False

@@ -255,6 +255,11 @@ class MacStructure:
         return MAC_OPCODE_NAMES.get(self.opcode,
                                     f"MAC_OPCODE_{self.opcode}")
 
+    @property
+    def known(self) -> bool:
+        """Opcode resolved to a named structure (coverage counter)."""
+        return self.opcode in MAC_OPCODE_NAMES
+
 
 @dataclass
 class MacPdu:

@@ -106,7 +106,9 @@ class P25P1BankProcessor:
             if not active[slot] or self.states[slot] is None:
                 continue
             frames[slot] += 1
-            self.metrics[slot].message(msg.valid)
+            m = self.metrics[slot]
+            m.message(msg.valid)
+            m.content(msg.content)
             self.states[slot].receive(msg, now)
         for s in np.nonzero(active)[0]:
             self.metrics[s].update(int(counts[s]), range(int(frames[s])))
@@ -262,7 +264,12 @@ class P25P2BankProcessor:
             if not act[slot] or states[slot] is None:
                 continue
             frames[slot] += 1
-            self.metrics[slot].message(True)
+            m = self.metrics[slot]
+            m.message(True)
+            for ts in frag.timeslots:
+                if ts.mac is not None:
+                    for s in ts.mac.structures:
+                        m.content(s)
             states[slot].receive_fragment(frag, now)
         frames = np.asarray(frames, np.int64)
         for s in np.nonzero(active)[0]:
@@ -365,7 +372,10 @@ class DMRBankProcessor:
             if not act[slot] or states[slot] is None:
                 continue
             frames[slot] += 1
-            metrics[slot].message(True)
+            m = metrics[slot]
+            m.message(True)
+            if burst.content_kind == "csbk":
+                m.content(burst.content)
             states[slot].receive(burst, now)
         frames = np.asarray(frames, np.int64)
         for s in np.nonzero(active)[0]:

@@ -24,6 +24,8 @@ class ChannelMetrics:
     frames: int = 0
     valid_frames: int = 0
     corrected_bits: int = 0
+    unknown_opcodes: int = 0   # messages whose opcode had no named
+    #  structure (coverage gauge; content classes expose .known)
 
     def update(self, n_dibits: int, frames) -> None:
         self.dibits += int(n_dibits)
@@ -34,6 +36,12 @@ class ChannelMetrics:
     def message(self, valid: bool) -> None:
         if valid:
             self.valid_frames += 1
+
+    def content(self, content) -> None:
+        """Track opcode coverage for control-message contents."""
+        if content is not None \
+                and getattr(content, "known", True) is False:
+            self.unknown_opcodes += 1
 
     @property
     def sync_rate(self) -> float:

@@ -992,6 +992,11 @@ class Orchestrator:
                     metrics[key] = int(v)
             if framer.pending:
                 metrics["pending_frames"] = len(framer.pending)
+        if self.bank_proc is not None:
+            unk = sum(m.unknown_opcodes
+                      for m in self.bank_proc.metrics)
+            if unk:
+                metrics["unknown_opcodes"] = int(unk)
         if pll_err_hz is not None:
             metrics["pll_error_hz"] = round(pll_err_hz, 1)
             metrics["correction_ppm"] = round(self.correction_ppm, 3)
@@ -1057,10 +1062,21 @@ class Orchestrator:
                 if self.error_state is not None:
                     break
                 dev_iq = fut.result()
+                # ENQUEUE ORDER MATTERS: the tunneled backend runs one
+                # FIFO stream, so compute(n) and the small D2H(n) must
+                # queue BEFORE the next chunk's large H2D or they stall
+                # behind ~300 ms of wire time (measured: enqueueing the
+                # upload first cost ~40% of live throughput). The wire
+                # transfer then overlaps chunk n's host framing.
+                out, now = self._dispatch(dev_iq)
+                for v in out.values():
+                    try:
+                        v.copy_to_host_async()
+                    except AttributeError:  # non-jax leaf
+                        pass
                 prep = next_prepared() if may_read(chunks + 1) else None
                 fut = up_pool.submit(self._upload, prep) \
                     if prep is not None else None
-                out, now = self._dispatch(dev_iq)
                 cur = (down_pool.submit(pull, out), now)
                 if pending is not None:
                     metrics = self._process(pending[0].result(),

@@ -217,3 +217,106 @@ def test_pdu_ip_dispatch_lrrp():
     assert pkt is not None and pkt.header.protocol.name == "UDP"
     assert pkt.application is not None
     assert pkt.application.token("SPEED").fields["speed_mps"] == 3.0
+
+
+def test_pdu_sndcp_dispatch():
+    """SAP-6 PDUs route to the SNDCP control parser: an inbound
+    Activate TDS Context Request and the outbound Accept both decode
+    their typed fields (pdu/packet/sndcp/ActivateTdsContextRequest
+    .java:38-49 / ActivateTdsContextAccept.java:41-55 layouts)."""
+    from sdrtrunk_tpu.protocol.p25p1.pdu import PDUSequence, pdu_dispatch
+    from sdrtrunk_tpu.protocol.p25p1.sndcp import parse_sndcp
+
+    # inbound request: byte0 0x01 -> pdu_type 0, version 1; byte1 0x51
+    # -> nsapi 5, NAT dynamic(1); ip 10.0.0.9
+    # bytes: [type|ver, nsapi|nat, ip x4, dsut|udpcomp, ipcomp,
+    #         tcpss|udpss, mdpco]
+    req = bytes([0x01, 0x51, 10, 0, 0, 9, 0x20, 0x00, 0x12, 0x00])
+    msg = parse_sndcp(req, outbound=False)
+    assert msg.type_name == "ACTIVATE_TDS_CONTEXT_REQUEST"
+    assert msg.fields["version"] == 1 and msg.fields["nsapi"] == 5
+    assert msg.fields["nat"] == "IPV4_DYNAMIC"
+    assert msg.fields["ip_address"] == "10.0.0.9"
+    assert msg.fields["dsut"] == 2
+    assert msg.fields["tcpss"] == 1 and msg.fields["udpss"] == 2
+
+    # outbound accept with full layout through the PDU pipeline
+    accept = bytearray(13)
+    accept[0] = 0x05                  # pdu_type 0, nsapi 5
+    accept[1] = 0x34                  # priority 3, ready timer 4
+    accept[2] = 0x21                  # standby 2, NAT 1 (dynamic)
+    accept[3:7] = bytes([192, 168, 1, 7])
+    accept[9] = 0x40                  # mtu nibble = 4
+    datagram = bytes(accept)
+    blocks, n_blocks, pad = build_packet_blocks(datagram, confirmed=True)
+    header_bits = pdu_encode_header(format=22, sap=6, llid=99,
+                                    blocks_to_follow=n_blocks,
+                                    confirmation=True, pad_octets=pad)
+    h = pdu_decode_header(header_bits)
+    assert h.sap_name == "SNDCP_PACKET_DATA_CONTROL"
+    seq = PDUSequence(header=h)
+    for b in blocks:
+        seq.blocks.append(pdu_decode_block(b, confirmed=True))
+    payload, crc_ok = assemble_packet(seq)
+    assert crc_ok
+    msg = pdu_dispatch(h, payload)
+    assert msg is not None
+    assert msg.type_name == "ACTIVATE_TDS_CONTEXT_ACCEPT"
+    assert msg.fields["nsapi"] == 5
+    assert msg.fields["ip_address"] == "192.168.1.7"
+    assert msg.fields["nat"] == "IPV4_DYNAMIC"
+    assert msg.fields["mtu"] == 4
+    assert "ACTIVATE_TDS_CONTEXT_ACCEPT" in msg.describe()
+
+    # reject + deactivate variants
+    rej = parse_sndcp(bytes([0x35, 0x02]), outbound=True)
+    assert rej.type_name == "ACTIVATE_TDS_CONTEXT_REJECT"
+    assert rej.fields["nsapi"] == 5 and rej.fields["reject_reason"] == 2
+    deact = parse_sndcp(bytes([0x27, 0x01]), outbound=True)
+    assert deact.type_name == "DEACTIVATE_TDS_CONTEXT_REQUEST"
+    assert deact.fields["reason"] == "NETWORK_INITIATED"
+
+
+def test_lrrp_extended_token_set():
+    """The zero-length report tokens the reference names (REQUEST_3A,
+    ALTITUDE_ACCURACY, TIME, ALTITUDE, HORIZONTAL_DIRECTION, REQUEST_62
+    /64) parse in sequence without desync (TokenType.java parity)."""
+    from sdrtrunk_tpu.protocol.ip.lrrp import parse_lrrp
+
+    body = bytes([
+        0x36, 0x01,           # VERSION 1
+        0x3A,                 # REQUEST_3A (0 len)
+        0x50,                 # ALTITUDE_ACCURACY
+        0x52,                 # TIME
+        0x54,                 # ALTITUDE
+        0x57,                 # HORIZONTAL_DIRECTION
+        0x62,                 # REQUEST_62
+        0x64,                 # REQUEST_64
+        0x66, 0x20, 0, 0, 0, 0x10, 0, 0, 0,   # POINT_2D
+        0x56, 0x2D,           # HEADING
+    ])
+    pkt = parse_lrrp(bytes([0x0D, len(body)]) + body)
+    names = [t.name for t in pkt.tokens]
+    for want in ("VERSION", "REQUEST_3A", "ALTITUDE_ACCURACY", "TIME",
+                 "ALTITUDE", "HORIZONTAL_DIRECTION", "REQUEST_62",
+                 "REQUEST_64", "POINT_2D", "HEADING"):
+        assert want in names, names
+    assert pkt.token("POINT_2D") is not None
+
+
+def test_unknown_opcode_counter():
+    """Coverage gauge: contents whose opcode lacks a named structure
+    count into ChannelMetrics.unknown_opcodes; known ones do not."""
+    from sdrtrunk_tpu.protocol.dmr.csbk import CSBK
+    from sdrtrunk_tpu.protocol.p25p1.tsbk import TSBK
+    from sdrtrunk_tpu.runtime.metrics import ChannelMetrics
+
+    m = ChannelMetrics()
+    m.content(TSBK(opcode=0x00, mfid=0, last_block=True,
+                   protected=False, args=np.zeros(64, np.uint8)))
+    assert m.unknown_opcodes == 0            # GROUP VOICE GRANT: known
+    m.content(TSBK(opcode=0x01, mfid=0, last_block=True,
+                   protected=False, args=np.zeros(64, np.uint8)))
+    assert m.unknown_opcodes == 1            # OSP 0x01 is reserved
+    m.content({"ambe_frames": None})         # voice dicts never count
+    assert m.unknown_opcodes == 1
