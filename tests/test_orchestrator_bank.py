@@ -98,10 +98,11 @@ def test_bank_metrics_stream(bank_run):
     assert json.loads(lines[-1])["active_channels"] == 1
 
 
-def test_analog_bank_audio_segments():
-    """NBFM bank mode: device ships int16 PCM + packed gate; host
-    assembles per-slot AudioSegments (the analog leg of the
-    1000-channel target at CPU test scale)."""
+@pytest.mark.parametrize("audio_format", ["mulaw8", "int16"])
+def test_analog_bank_audio_segments(audio_format):
+    """NBFM bank mode: device ships companded-8-bit (tunnel) or int16
+    (PCIe) PCM + packed gate; host assembles per-slot AudioSegments
+    (the analog leg of the 1000-channel target at CPU test scale)."""
     fs = 32 * 12500.0
     m = 32
     rng = np.random.default_rng(3)
@@ -131,7 +132,8 @@ def test_analog_bank_audio_segments():
 
     orch = Orchestrator(source, fs, 460e6, [offs[0]], slots=4,
                         decoder="nbfm", chunk_samples=m * 25 * 32,
-                        ppm_correction=False, bank_mode=True)
+                        ppm_correction=False, bank_mode=True,
+                        audio_format=audio_format)
     orch._activate(460e6 + offs[1], __import__(
         "sdrtrunk_tpu.runtime.identifiers",
         fromlist=["IdentifierCollection"]).IdentifierCollection())
@@ -141,7 +143,7 @@ def test_analog_bank_audio_segments():
             orch._slot_flush_drain(slot)
     segs = [s for s in orch.audio_segments if s.duration > 0.2]
     assert len(segs) >= 2
-    # audio content survives the int16 + gate packing round trip
+    # audio content survives the PCM + gate packing round trip
     pcm = segs[0].samples
     spec = np.abs(np.fft.rfft(pcm[800:]))
     peak = np.fft.rfftfreq(len(pcm) - 800, 1 / 8000.0)[int(np.argmax(spec))]
