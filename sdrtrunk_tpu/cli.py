@@ -478,6 +478,87 @@ def cmd_monitor(args) -> int:
     return 0
 
 
+def cmd_playlist(args) -> int:
+    """Headless playlist editor (role of the reference's JavaFX playlist
+    editor surface, gui/playlist/ — the functional operations without
+    pixels): list / add-channel / remove-channel / enable / disable /
+    set-field on the native JSON playlist, with the same versioned
+    backup-on-save behavior as the reference's PlaylistManager."""
+    from .config import (ChannelConfig, DecodeConfig, Playlist,
+                         SourceConfig)
+
+    path = Path(args.playlist)
+    if args.action == "new":
+        if path.exists():
+            raise SystemExit(f"{path} already exists")
+        Playlist().save(path)
+        _emit({"created": str(path)})
+        return 0
+    playlist = Playlist.load(path)
+
+    def find(name: str) -> int:
+        for i, c in enumerate(playlist.channels):
+            if c.name == name:
+                return i
+        raise SystemExit(f"no channel named {name!r}")
+
+    if args.action == "list":
+        for c in playlist.channels:
+            _emit({"name": c.name, "system": c.system, "site": c.site,
+                   "enabled": c.enabled,
+                   "frequency_hz": c.source.frequency_hz,
+                   "decoder": c.decode.decoder})
+        _emit({"summary": True, "channels": len(playlist.channels),
+               "aliases": len(playlist.aliases),
+               "streams": len(playlist.streams)})
+        return 0
+    if args.action == "add-channel":
+        if args.name is None or args.frequency is None:
+            raise SystemExit("add-channel needs --name and --frequency")
+        playlist.channels.append(ChannelConfig(
+            name=args.name, system=args.system or "",
+            site=args.site or "",
+            source=SourceConfig(frequency_hz=args.frequency),
+            decode=DecodeConfig(decoder=args.decoder or "nbfm")))
+        playlist.save(path)
+        _emit({"added": args.name, "channels": len(playlist.channels)})
+        return 0
+    if args.action == "remove-channel":
+        playlist.channels.pop(find(args.name))
+        playlist.save(path)
+        _emit({"removed": args.name, "channels": len(playlist.channels)})
+        return 0
+    if args.action in ("enable", "disable"):
+        playlist.channels[find(args.name)].enabled = \
+            args.action == "enable"
+        playlist.save(path)
+        _emit({args.action + "d": args.name})
+        return 0
+    if args.action == "set":
+        if not args.field or args.value is None:
+            raise SystemExit("set needs --field and --value")
+        ch = playlist.channels[find(args.name)]
+        target, field_name = ch, args.field
+        if "." in field_name:
+            section, field_name = field_name.split(".", 1)
+            target = getattr(ch, section)
+        if not hasattr(target, field_name):
+            raise SystemExit(f"unknown field {args.field!r}")
+        current = getattr(target, field_name)
+        value: object = args.value
+        if isinstance(current, bool):
+            value = args.value.lower() in ("1", "true", "yes", "on")
+        elif isinstance(current, float):
+            value = float(args.value)
+        elif isinstance(current, int):
+            value = int(args.value)
+        setattr(target, field_name, value)
+        playlist.save(path)
+        _emit({"set": args.field, "value": value, "channel": args.name})
+        return 0
+    raise SystemExit(f"unknown action {args.action!r}")
+
+
 def cmd_import_playlist(args) -> int:
     """Import a reference sdrtrunk playlist.xml (PlaylistV2) into the
     native JSON config (playlist_import.py)."""
@@ -590,6 +671,23 @@ def main(argv=None) -> int:
     p.add_argument("--quiet", action="store_true",
                    help="suppress per-chunk metrics lines")
     p.set_defaults(fn=cmd_monitor)
+
+    p = sub.add_parser("playlist", help="headless playlist editor: "
+                       "new/list/add-channel/remove-channel/enable/"
+                       "disable/set")
+    p.add_argument("action", choices=["new", "list", "add-channel",
+                                      "remove-channel", "enable",
+                                      "disable", "set"])
+    p.add_argument("--playlist", required=True)
+    p.add_argument("--name", help="channel name")
+    p.add_argument("--frequency", type=float)
+    p.add_argument("--decoder")
+    p.add_argument("--system")
+    p.add_argument("--site")
+    p.add_argument("--field", help="e.g. decode.squelch_threshold_db, "
+                                   "source.frequency_hz, record.audio")
+    p.add_argument("--value")
+    p.set_defaults(fn=cmd_playlist)
 
     p = sub.add_parser("import-playlist",
                        help="import a reference sdrtrunk playlist.xml")

@@ -59,6 +59,8 @@ class RecordConfig:
     audio: bool = False
     baseband_iq: bool = False
     demodulated_bits: bool = False
+    audio_format: str = "wav"      # wav | mp2 (the MP3-recording
+    #  option of the reference's AudioSegmentRecorder)
 
 
 @dataclass

@@ -111,6 +111,12 @@ class MonitorSession:
         if self.audio_dir is not None:
             self.audio_dir.mkdir(parents=True, exist_ok=True)
         self.min_audio_seconds = min_audio_seconds
+        # per-playlist audio container: mp2 if ANY enabled channel
+        # requests it (AudioSegmentRecorder format option)
+        self.audio_container = "wav"
+        for c in playlist.channels:
+            if c.enabled and c.record.audio_format == "mp2":
+                self.audio_container = "mp2"
         self.audio_written = 0
         self._stop = False
         self._alias_list = playlist.alias_list()
@@ -167,9 +173,12 @@ class MonitorSession:
             self.audio_written += 1
             if self.audio_dir is None:
                 continue
-            from .audio.recorder import write_audio_wave
+            from .audio.recorder import write_audio_mpeg, write_audio_wave
             stem = f"call_{self.audio_written:05d}_{seg.start_time:.2f}s"
-            write_audio_wave(self.audio_dir / f"{stem}.wav", seg)
+            if self.audio_container == "mp2":
+                write_audio_mpeg(self.audio_dir / f"{stem}.mp2", seg)
+            else:
+                write_audio_wave(self.audio_dir / f"{stem}.wav", seg)
 
     # -- control ----------------------------------------------------------
 

@@ -173,7 +173,10 @@ class Orchestrator:
         # streams and the host runs one P25P1BankFramer over the whole
         # bank (runtime/bank_processor.py). Same product surface
         # (events, audio, traffic following) — different scaling tier.
-        _BANK_KINDS = ("c4fm", "p25p1", "dmr", "p25p2", "nbfm", "am")
+        # lsm/p25p1-lsm share P25P1 framing (Gardner demod, same sync
+        # patterns), so they ride the P25P1 bank tier unchanged
+        _BANK_KINDS = ("c4fm", "p25p1", "lsm", "p25p1-lsm", "dmr",
+                       "p25p2", "nbfm", "am")
         if bank_mode is None:
             bank_mode = decoder in _BANK_KINDS and slots >= 32
         if bank_mode and decoder not in _BANK_KINDS:

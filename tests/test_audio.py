@@ -100,3 +100,57 @@ def test_icecast_client_and_streaming_manager():
     assert mgr.process(now=2.0) == 1
     assert len(sock.sent) - header_len == 2 * 1600  # PCM16 payload
     assert mgr.sent_segments == 1
+
+
+def test_wave_list_info_metadata():
+    """Call WAVs carry an in-container LIST-INFO chunk (the reference's
+    AudioMetadataUtils tags) that survives a standard wave reader."""
+    import numpy as np
+    from sdrtrunk_tpu.audio.recorder import (read_audio_wave,
+                                             read_wave_list_info,
+                                             write_audio_wave)
+    from sdrtrunk_tpu.audio.segments import AudioSegment
+    from sdrtrunk_tpu.runtime.identifiers import (Identifier,
+                                                  IdentifierRole)
+    import tempfile, os
+    seg = AudioSegment(start_time=12.5, sample_rate=8000.0, timeslot=1)
+    seg.add_audio(0.2 * np.sin(2 * np.pi * 600 *
+                               np.arange(4000) / 8000.0
+                               ).astype(np.float32))
+    seg.identifiers.update(Identifier.talkgroup(0x457))
+    seg.identifiers.update(Identifier.radio(0xABCDE,
+                                            IdentifierRole.FROM))
+    seg.complete_segment()
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "call.wav")
+        write_audio_wave(p, seg)
+        # the PCM still reads back through the normal wave reader
+        samples, rate, meta = read_audio_wave(p)
+        assert rate == 8000 and len(samples) == 4000
+        info = read_wave_list_info(p)
+        assert info["INAM"] == str(0x457)        # TO talkgroup
+        assert info["IART"] == str(0xABCDE)      # FROM radio
+        assert "timeslot=1" in info["ICMT"]
+
+
+def test_mp2_call_recording():
+    """RecordConfig audio_format='mp2': calls record as conformant
+    Layer II files the independent ISO decoder accepts."""
+    import numpy as np
+    from sdrtrunk_tpu.audio.mpeg import L2_FRAME_BYTES
+    from sdrtrunk_tpu.audio.recorder import write_audio_mpeg
+    from sdrtrunk_tpu.audio.segments import AudioSegment
+    import tempfile, os, json
+    seg = AudioSegment(start_time=1.0, sample_rate=8000.0)
+    seg.add_audio(0.3 * np.sin(2 * np.pi * 800 *
+                               np.arange(8000) / 8000.0
+                               ).astype(np.float32))
+    seg.complete_segment()
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "call.mp2")
+        write_audio_mpeg(p, seg)
+        data = open(p, "rb").read()
+        assert len(data) % L2_FRAME_BYTES == 0 and len(data) > 0
+        assert data[0] == 0xFF and (data[1] >> 1) & 3 == 0b10
+        meta = json.loads(open(p + ".json").read())
+        assert meta["duration"] > 0.9

@@ -168,3 +168,42 @@ def test_cli_replay_batched_digital(tmp_path, capsys):
     tsbks = [l for l in lines if l.get("duid") == "TSBK" and l.get("valid")]
     channels_seen = {l["channel"] for l in tsbks}
     assert channels_seen == {"P25-0", "P25-1"}
+
+
+def test_playlist_editor_cli(tmp_path, capsys):
+    """Headless playlist editing: new -> add -> set -> disable ->
+    remove round-trips through the versioned JSON with backups."""
+    import json
+    from sdrtrunk_tpu.cli import main
+    from sdrtrunk_tpu.config import Playlist
+
+    p = str(tmp_path / "p.json")
+    assert main(["playlist", "new", "--playlist", p]) == 0
+    assert main(["playlist", "add-channel", "--playlist", p,
+                 "--name", "Ctrl", "--frequency", "460025000",
+                 "--decoder", "p25p1", "--system", "Sys"]) == 0
+    assert main(["playlist", "add-channel", "--playlist", p,
+                 "--name", "FM", "--frequency", "154000000"]) == 0
+    assert main(["playlist", "set", "--playlist", p, "--name", "FM",
+                 "--field", "decode.squelch_threshold_db",
+                 "--value", "-60"]) == 0
+    assert main(["playlist", "set", "--playlist", p, "--name", "FM",
+                 "--field", "record.audio", "--value", "true"]) == 0
+    assert main(["playlist", "disable", "--playlist", p,
+                 "--name", "Ctrl"]) == 0
+    pl = Playlist.load(p)
+    assert len(pl.channels) == 2
+    fm = next(c for c in pl.channels if c.name == "FM")
+    assert fm.decode.squelch_threshold_db == -60.0
+    assert fm.record.audio is True
+    assert not next(c for c in pl.channels if c.name == "Ctrl").enabled
+    assert main(["playlist", "remove-channel", "--playlist", p,
+                 "--name", "FM"]) == 0
+    assert len(Playlist.load(p).channels) == 1
+    capsys.readouterr()
+    assert main(["playlist", "list", "--playlist", p]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["channels"] == 1
+    # backup exists from the last save
+    assert (tmp_path / "p.json.backup").exists()

@@ -285,3 +285,47 @@ def test_int4_ingest_decodes_like_int8(bank_run, bank_run_int4):
     f4 = sum(s["frames"] for s in orch.channel_status())
     f8 = sum(s["frames"] for s in ref.channel_status())
     assert f4 >= f8 - 2, (f4, f8)
+
+
+def test_lsm_bank_mode_decodes():
+    """LSM (CQPSK) rides the P25P1 bank tier: Gardner demod on device,
+    the same 4-pattern sync correlation + P25P1BankFramer on host
+    (round-5 _BANK_KINDS addition)."""
+    from sdrtrunk_tpu.protocol.p25p1.duid import DUID
+    from sdrtrunk_tpu.protocol.p25p1.framer import P25P1FrameAssembler
+    from sdrtrunk_tpu.protocol.p25p1.tsbk import tsbk_encode
+
+    fs = 32 * 12500.0
+    m = 32
+    rng = np.random.default_rng(5)
+    asm = P25P1FrameAssembler(nac=0x293)
+    tsbk = asm.assemble(DUID.TSBK, tsbk_encode(
+        0x3A, rng.integers(0, 2, 64).astype(np.uint8)))
+    total = int(2.0 * 4800)
+    parts = [rng.integers(0, 4, 150).astype(np.uint8)] + [tsbk] * 6
+    stream = np.concatenate(parts)
+    stream = np.concatenate(
+        [stream, rng.integers(0, 4, total - len(stream)).astype(np.uint8)])
+    iq = generators.lsm_modulate(stream, fs)
+    off = 3 * 12500.0
+    n = len(iq) // m * m
+    t = np.arange(n) / fs
+    wide = (iq[:n] * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+    iq8 = np.clip(np.stack([wide.real, wide.imag], -1) * 100.0,
+                  -127, 127).astype(np.int8)
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        c = iq8[pos:pos + num]
+        pos += num
+        return c if len(c) == num else None
+
+    orch = Orchestrator(source, fs, 460e6, [off], slots=4,
+                        decoder="lsm", chunk_samples=m * 256,
+                        ppm_correction=False, bank_mode=True)
+    orch.run()
+    assert orch.bank_mode
+    status = orch.channel_status()
+    ctrl = next(s for s in status if s["control"])
+    assert ctrl["frames"] >= 4
