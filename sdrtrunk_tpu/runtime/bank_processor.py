@@ -195,6 +195,76 @@ class AnalogBankProcessor:
         return self.modules
 
 
+class MixedBankProcessor:
+    """All analog-trunking slots (LTR / LTR-Net / Passport / MPT1327)
+    of a live receiver: the device ships companded voice + squelch
+    gates + COMPACTED sub-audible/AFSK bit decisions per slot, and each
+    slot's proven per-slot processor (runtime/processors.py analog
+    trunk family) consumes them. No vectorized framer is needed at
+    bank scale: the bit rate is 300-1200 baud, so the per-slot host
+    work is ~100x lighter than P25/DMR framing
+    (DecoderFactory.java:398-425 module lists at scale)."""
+
+    def __init__(self, channels: int, control_slots: set[int],
+                 traffic: TrafficChannelManager | None = None,
+                 kind: str = "ltr", channel_map=None):
+        self.c = channels
+        self.control_slots = set(control_slots)
+        self.traffic = traffic
+        self.kind = kind
+        self.channel_map = channel_map
+        self.protocol = {"ltr": "LTR", "ltrnet": "LTR-Net",
+                         "passport": "Passport",
+                         "mpt1327": "MPT1327"}.get(kind, kind.upper())
+        self.procs: list = [None] * channels
+        self.metrics = [ChannelMetrics() for _ in range(channels)]
+        self.frame_counts = np.zeros(channels, np.int64)
+        for s in self.control_slots:
+            self.reset_slot(s)
+
+    def reset_slot(self, slot: int,
+                   preload: IdentifierCollection | None = None) -> None:
+        from .processors import make_channel_processor
+        self.procs[slot] = make_channel_processor(
+            self.kind,
+            traffic=self.traffic if slot in self.control_slots else None,
+            preload=preload, channel_map=self.channel_map)
+        self.frame_counts[slot] = 0
+
+    def route_mixed(self, audio: np.ndarray, gate: np.ndarray,
+                    bits: np.ndarray, counts: np.ndarray,
+                    active: np.ndarray, now: float) -> np.ndarray:
+        frames = np.zeros(self.c, np.int64)
+        for s in np.nonzero(active)[0]:
+            s = int(s)
+            proc = self.procs[s]
+            if proc is None:
+                continue
+            n = proc.process_mixed(bits[s][: int(counts[s])],
+                                   audio[s], gate[s], now)
+            frames[s] = n
+            self.metrics[s].update(audio.shape[1], range(int(n)))
+        self.frame_counts += frames
+        return frames
+
+    def drain_audio(self, slot: int) -> list:
+        proc = self.procs[slot]
+        return proc.drain_audio() if proc is not None else []
+
+    def flush(self, slot: int, now: float) -> None:
+        proc = self.procs[slot]
+        if proc is not None:
+            proc.flush(now)
+
+    def channel_state(self, slot: int):
+        proc = self.procs[slot]
+        return proc.channel_state() if proc is not None else None
+
+    @property
+    def states(self):            # event-logger hook parity
+        return self.procs
+
+
 class P25P2BankProcessor:
     """All P25 Phase 2 slots of a live receiver: P25P2BankFramer +
     per-slot two-TDMA-channel decoder states + AMBE audio (the P25P2

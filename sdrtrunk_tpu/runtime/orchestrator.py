@@ -174,19 +174,24 @@ class Orchestrator:
         # bank (runtime/bank_processor.py). Same product surface
         # (events, audio, traffic following) — different scaling tier.
         # lsm/p25p1-lsm share P25P1 framing (Gardner demod, same sync
-        # patterns), so they ride the P25P1 bank tier unchanged
+        # patterns), so they ride the P25P1 bank tier unchanged; the
+        # analog-trunking kinds get the MIXED leg (voice + compacted
+        # sub-audible/AFSK bits in one transfer)
+        _MIXED_KINDS = ("ltr", "ltrnet", "passport", "mpt1327")
         _BANK_KINDS = ("c4fm", "p25p1", "lsm", "p25p1-lsm", "dmr",
-                       "p25p2", "nbfm", "am")
+                       "p25p2", "nbfm", "am") + _MIXED_KINDS
         if bank_mode is None:
             bank_mode = decoder in _BANK_KINDS and slots >= 32
         if bank_mode and decoder not in _BANK_KINDS:
             raise ValueError(f"bank_mode not supported for {decoder!r}")
         self.bank_mode = bank_mode
         self.bank_analog = bank_mode and decoder in ("nbfm", "am")
+        self.bank_mixed = bank_mode and decoder in _MIXED_KINDS
         self.bank_proc = None
         self._bank_cap = None
         self._bank_ka = None
-        if self.bank_analog:
+        self._bank_bit_cap = None
+        if self.bank_analog or self.bank_mixed:
             k = 2 * self.chunk_samples // m
             dec = self.rx.decoder
             up, down = getattr(dec, "up", 8), getattr(dec, "down", 25)
@@ -195,6 +200,14 @@ class Orchestrator:
                     f"chunk gives non-integral audio length: per-channel "
                     f"block {k} must be a multiple of {down}")
             self._bank_ka = k * up // down
+            if self.bank_mixed:
+                # sub-audible/AFSK bit budget per chunk: baud * chunk
+                # seconds + margin (the timing-tracked slicers emit at
+                # most ~1 bit per symbol period regardless of noise)
+                baud = 1200.0 if decoder == "mpt1327" else 300.0
+                secs = self.chunk_samples / self.sample_rate
+                self._bank_bit_cap = int(
+                    np.ceil((secs * baud * 1.25 + 16) / 32)) * 32
         elif bank_mode:
             k = 2 * self.chunk_samples // m
             demod = self.rx.decoder.demod
@@ -234,7 +247,13 @@ class Orchestrator:
             on_activate=self._activate, on_teardown=self._teardown)
         if self.event_logger is not None:
             self.traffic.event_sink = self.event_logger.receive
-        if self.bank_analog:
+        if self.bank_mixed:
+            from .bank_processor import MixedBankProcessor
+            self.bank_proc = MixedBankProcessor(
+                slots, control_slots=set(range(len(control_offsets_hz))),
+                traffic=self.traffic, kind=decoder,
+                channel_map=self.channel_map)
+        elif self.bank_analog:
             from .bank_processor import AnalogBankProcessor
             self.bank_proc = AnalogBankProcessor(slots)
         elif self.bank_mode:
@@ -307,6 +326,7 @@ class Orchestrator:
         base = self.rx.build_dynamic()
         bank_cap = self._bank_cap if self.bank_mode else None
         bank_analog = self.bank_analog
+        bank_mixed = self.bank_mixed
 
         def ingest(x):
             # 8-bit IQ pairs are the live wire format (an RTL dongle's
@@ -428,6 +448,46 @@ class Orchestrator:
                 out2 = {"sym": sym}
                 if "pll_freq" in out:
                     out2["pll_freq"] = out["pll_freq"]
+            elif bank_mixed and "bits" in out:
+                # analog-trunking bank leg (LTR family / MPT1327):
+                # companded voice + packed squelch gates + COMPACTED
+                # sub-audible/AFSK bit decisions in one uint8 transfer
+                # (DecoderFactory.java:398-425 module lists at bank
+                # scale; bits ride at ~300-1200 baud so the compact
+                # stream is tiny next to the audio)
+                a = jnp.clip(out["audio"], -1.0, 1.0)
+                c_, ka = a.shape
+                comp = jnp.log1p(255.0 * jnp.abs(a)) \
+                    * (1.0 / np.log(256.0))
+                level = jnp.clip((comp * 127.0 + 0.5).astype(jnp.int32),
+                                 0, 127)
+                pcm8 = (jnp.where(a < 0, 128, 0) + level
+                        ).astype(jnp.uint8)
+                gate = out["audio_gate"] > 0
+                pad = (-ka) % 8
+                g = jnp.pad(gate, ((0, 0), (0, pad))).reshape(
+                    c_, (ka + pad) // 8, 8).astype(jnp.int32)
+                g8 = (g * jnp.array([128, 64, 32, 16, 8, 4, 2, 1],
+                                    jnp.int32)).sum(-1).astype(jnp.uint8)
+                bits = out["bits"].astype(jnp.int32)
+                val = out["valid"]
+                kb = bits.shape[1]
+                cap = self._bank_bit_cap
+                t_iota = jax.lax.broadcasted_iota(jnp.int32, (c_, kb), 1)
+                combined = jnp.where(val, t_iota, kb) * 2 + bits
+                sbits = (jax.lax.sort(combined, dimension=-1)
+                         & 1)[:, :cap]
+                counts = jnp.minimum(
+                    jnp.sum(val, axis=-1), cap).astype(jnp.int32)
+                b8g = sbits.reshape(c_, cap // 8, 8)
+                b8 = (b8g * jnp.array([128, 64, 32, 16, 8, 4, 2, 1],
+                                      jnp.int32)).sum(-1).astype(
+                    jnp.uint8)
+                counts8 = jax.lax.bitcast_convert_type(
+                    counts, jnp.uint8).reshape(-1)
+                out2 = {"packed_mixed": jnp.concatenate(
+                    [pcm8.reshape(-1), g8.reshape(-1), b8.reshape(-1),
+                     counts8])}
             elif bank_analog:
                 # analog bank: companded 8-bit (default) or int16 PCM +
                 # packed gate bits in one flat uint8 transfer (float
@@ -507,6 +567,11 @@ class Orchestrator:
             down = getattr(self.rx.decoder, "down", 25)
             # K = 2*chunk/m must be a multiple of `down`
             return m * down if down % 2 else m * down // 2
+        if self.decoder_name in ("ltr", "ltrnet", "passport",
+                                 "mpt1327"):
+            # K = 250 satisfies the 8 kHz resampler (%25) and the AFSK
+            # correlator's audio step (Ka % 10)
+            return m * 125
         return 16 * m
 
     def _tune(self, slot: int, offset_hz: float) -> None:
@@ -862,10 +927,32 @@ class Orchestrator:
                              axis=1)[:, :ka].astype(bool)
         return audio, gate
 
+    def _split_packed_mixed(self, buf: np.ndarray):
+        """Parse the mixed analog-trunking transfer
+        (mu-law PCM | gates | compacted bits | counts)."""
+        c = len(self.slots)
+        ka = self._bank_ka
+        cap = self._bank_bit_cap
+        audio = self._mulaw_lut()[buf[: c * ka]].reshape(c, ka)
+        pos = c * ka
+        nb = (ka + 7) // 8
+        gate = np.unpackbits(buf[pos: pos + c * nb].reshape(c, nb),
+                             axis=1)[:, :ka].astype(bool)
+        pos += c * nb
+        bits = np.unpackbits(
+            buf[pos: pos + c * (cap // 8)].reshape(c, cap // 8), axis=1)
+        pos += c * (cap // 8)
+        counts = buf[pos: pos + 4 * c].view(np.int32)
+        return audio, gate, bits, counts
+
     def _pull_bank(self, out: dict) -> dict:
         """Download-worker half of a bank chunk: transfer + unpack +
         bank-frame (stateful, called strictly in chunk order by the one
         download thread); the main thread only routes messages."""
+        if self.bank_mixed:
+            audio, gate, bits, counts = self._split_packed_mixed(
+                np.asarray(out["packed_mixed"]))
+            return {"bank_mixed": (audio, gate, bits, counts)}
         if self.bank_analog:
             audio, gate = self._split_packed_audio(
                 np.asarray(out["packed_audio"]))
@@ -881,7 +968,8 @@ class Orchestrator:
         self.now = now
         digital = "sym" in out or "packed" in out or "bank_msgs" in out
         pll_raw = out.get("pll_raw")
-        if "packed" in out or "packed_audio" in out:
+        if "packed" in out or "packed_audio" in out \
+                or "packed_mixed" in out:
             out = {**self._pull_bank(out)}     # un-pipelined bank path
             pll_raw = out.get("pll_raw")
         if self.banks is not None:
@@ -892,6 +980,8 @@ class Orchestrator:
                                 [self.slots[0].local])
         elif "bank_msgs" in out:
             bank_msgs, counts = out["bank_msgs"], out["counts"]
+        elif "bank_mixed" in out:
+            mixed = out["bank_mixed"]
         elif "bank_audio" in out:
             audio, gate = out["bank_audio"], out["bank_gate"]
         elif digital:                      # packed: valid<<2 | dibit
@@ -943,7 +1033,10 @@ class Orchestrator:
                 self.audio_segments.extend(slot.processor.drain_audio())
         elif self.bank_mode:
             active = np.array([s.active for s in self.slots])
-            if self.bank_analog:
+            if self.bank_mixed:
+                per_slot = self.bank_proc.route_mixed(*mixed, active,
+                                                      self.now)
+            elif self.bank_analog:
                 per_slot = self.bank_proc.route_audio(audio, gate,
                                                       active, self.now)
             else:

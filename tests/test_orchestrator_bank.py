@@ -329,3 +329,101 @@ def test_lsm_bank_mode_decodes():
     status = orch.channel_status()
     ctrl = next(s for s in status if s["control"])
     assert ctrl["frames"] >= 4
+
+
+def test_ltr_mixed_bank_mode():
+    """LTR rides the MIXED bank leg (round-5 analog-trunking tier):
+    companded voice + gates + compacted 300-baud FSK bits in one
+    transfer; per-slot LTR framers decode OSWs and voice assembles."""
+    from sdrtrunk_tpu.protocol.ltr.messages import ltr_encode_word
+    from test_ltr import _fsk_modulate
+    from sdrtrunk_tpu.signal import generators as gen
+
+    fs = 32 * 12500.0
+    m = 32
+    rng = np.random.default_rng(11)
+    words = [ltr_encode_word(0, 5, 5, 77, 5)] * 30
+    bits = np.concatenate([rng.integers(0, 2, 25).astype(np.uint8)]
+                          + words)
+    data = _fsk_modulate(bits, amplitude=0.35)
+    dur = 2.0
+    need = int(8000 * dur)
+    data = np.tile(data, need // len(data) + 1)[:need]
+    voice = 0.5 * np.sin(2 * np.pi * 800.0 * np.arange(need) / 8000.0)
+    iq = gen.nbfm_modulate(data + voice, 8000.0, fs)
+    off = 2 * 12500.0
+    chunk = m * 125
+    n = len(iq) // chunk * chunk
+    t = np.arange(n) / fs
+    wide = (iq[:n] * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+    iq8 = np.clip(np.stack([wide.real, wide.imag], -1) * 110.0,
+                  -127, 127).astype(np.int8)
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        c = iq8[pos:pos + num]
+        pos += num
+        return c if len(c) == num else None
+
+    orch = Orchestrator(source, fs, 460e6, [off], slots=4,
+                        decoder="ltr", ppm_correction=False,
+                        bank_mode=True)
+    assert orch.bank_mixed
+    orch.run()
+    for slot in orch.slots:
+        if slot.active:
+            orch._slot_flush_drain(slot)
+    ctrl = next(s for s in orch.channel_status() if s["control"])
+    assert ctrl["frames"] >= 5, ctrl     # OSW CALL words decoded
+    proc = orch.bank_proc.procs[0]
+    assert any(m.message_type.value == "CALL" for m in proc.messages)
+    segs = [s for s in orch.audio_segments if s.duration > 0.2]
+    assert segs                          # voice assembled
+
+
+def test_mpt1327_mixed_bank_mode():
+    """MPT1327 control channel through the mixed bank leg: 1200-baud
+    AFSK codewords decode via the per-slot framer at bank scale."""
+    from sdrtrunk_tpu.protocol.mpt1327 import (SYNC_CONTROL,
+                                               mpt_encode_codeword)
+    from test_mpt1327 import _afsk_modulate, _alh_data
+    from sdrtrunk_tpu.signal import generators as gen
+
+    fs = 32 * 12500.0
+    m = 32
+    rng = np.random.default_rng(13)
+    frame = np.concatenate([
+        rng.integers(0, 2, 24).astype(np.uint8),
+        SYNC_CONTROL, mpt_encode_codeword(_alh_data()),
+    ])
+    bits = np.tile(frame, 30)
+    audio = _afsk_modulate(bits)
+    dur = 2.0
+    need = int(8000 * dur)
+    audio = np.tile(audio, need // len(audio) + 1)[:need]
+    iq = gen.nbfm_modulate(0.7 * audio, 8000.0, fs)
+    off = -3 * 12500.0
+    chunk = m * 125
+    n = len(iq) // chunk * chunk
+    t = np.arange(n) / fs
+    wide = (iq[:n] * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+    iq8 = np.clip(np.stack([wide.real, wide.imag], -1) * 110.0,
+                  -127, 127).astype(np.int8)
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        c = iq8[pos:pos + num]
+        pos += num
+        return c if len(c) == num else None
+
+    orch = Orchestrator(source, fs, 460e6, [off], slots=4,
+                        decoder="mpt1327", ppm_correction=False,
+                        bank_mode=True)
+    assert orch.bank_mixed
+    orch.run()
+    ctrl = next(s for s in orch.channel_status() if s["control"])
+    assert ctrl["frames"] >= 3, ctrl
+    proc = orch.bank_proc.procs[0]
+    assert any(m.message_type.value == "ALH" for m in proc.messages)
