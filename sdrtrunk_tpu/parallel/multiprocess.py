@@ -90,8 +90,40 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     dt = time.perf_counter() - t0
     msps = n * iters / dt / 1e6 / num_processes
 
-    result = {"process": process_id, "ok": bool(max_err < 1e-3),
+    # --- multi-host LIVE ingest: consecutive chunks of ONE continuous
+    # stream, each process contributing its time slice of every chunk,
+    # with the streaming carry (channelizer tail + mixer phase) riding
+    # across chunk boundaries — the distributed analog of the live
+    # loop's chunked source (VERDICT r4 gap 4 multi-host live row)
+    stream_run = pipe.build_streaming()
+    carry = pipe.init_carry()
+    n_chunks = 3
+    x_all = (rng.standard_normal(n_chunks * n)
+             + 1j * rng.standard_normal(n_chunks * n)
+             ).astype(np.complex64)
+    state = ch.init_state()
+    phase = None
+    stream_err = 0.0
+    for j in range(n_chunks):
+        chunk_np = x_all[j * n:(j + 1) * n]
+        local_j = chunk_np[process_id * shard_len:
+                           (process_id + 1) * shard_len]
+        xj = jax.make_array_from_process_local_data(sharding, local_j,
+                                                    (n,))
+        yj, carry = stream_run(xj, carry)
+        y_ref_j, state = ch(jnp.asarray(chunk_np), state)
+        ref_j, phase = extract_channels(y_ref_j, plan, phase)
+        ref_j = np.asarray(ref_j)
+        for db in yj.addressable_shards:
+            stream_err = max(stream_err, float(np.abs(
+                np.asarray(db.data) - ref_j[db.index[0]]).max()))
+
+    result = {"process": process_id,
+              "ok": bool(max_err < 1e-3 and stream_err < 1e-3),
               "max_err": round(max_err, 8),
+              "streaming_ok": bool(stream_err < 1e-3),
+              "streaming_max_err": round(stream_err, 8),
+              "streaming_chunks": n_chunks,
               "msps_per_process": round(msps, 2),
               "devices": len(devs), "channels": c, "samples": n}
     print(json.dumps(result), flush=True)
