@@ -639,26 +639,72 @@ def scaling_worker() -> None:
     x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
          ).astype(np.complex64)
 
-    out = {}
-    for s in (1, 2, 4, 8):
-        mesh = Mesh(np.array(jax.devices()[:s]), ("shard",))
-        pipe = ShardedChannelizerPipeline(ch, plan, mesh)
-        run = pipe.build()
-        xs = jnp.asarray(x)
-        y = run(xs)
+    def time_fn(fn, xs, iters=10, repeats=3):
+        y = fn(xs)
         _ = np.asarray(y[:1, :4])           # compile + execute
-        # best-of-3 timed repeats: single runs on shared-core virtual
-        # devices are noisy (round-2 showed non-monotonic retention)
-        iters = 10
         best = None
-        for _ in range(3):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             for _ in range(iters):
-                y = run(xs)
+                y = fn(xs)
             _ = np.asarray(y[:1, :4])
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        out[s] = n * iters / best / 1e6
+        return n * iters / best / 1e6
+
+    def build_nocomm(pipe):
+        """Same partitioning, collectives REMOVED (zero halo, local
+        channel rows only): the control that isolates what the
+        ppermute + all_to_all actually cost at each mesh size —
+        shared-core virtual devices make the raw retention number
+        noisy, but sharded-with vs sharded-without communication on
+        the SAME devices cancels the scheduling noise."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        chz = pipe.channelizer
+        mm = chz.channels
+        hist = chz.taps_per_channel * mm
+        hmat = jnp.asarray(chz.hmat)
+        bins = jnp.asarray(pipe.plan.bins)
+        step = jnp.asarray((2.0 * np.pi * pipe.plan.offsets
+                            / pipe.plan.rate), jnp.float32)
+        n_shards = pipe.n_shards
+        from sdrtrunk_tpu.dsp.channelizer import _channelize_core
+
+        def shard_fn(x_local):
+            x_local = x_local[0]
+            halo = jnp.zeros(hist, x_local.dtype)
+            y = _channelize_core(jnp.concatenate([halo, x_local]),
+                                 hmat, mm)
+            k_local = y.shape[0]
+            lo = y[:, bins[:, 0]]
+            nn = jnp.arange(k_local, dtype=jnp.float32)[None, :]
+            mixer = jnp.exp(-1j * (step[:, None] * nn)
+                            ).astype(jnp.complex64)
+            streams = lo.T * mixer
+            c2 = streams.shape[0]
+            return streams.reshape(1, c2, k_local)
+
+        fn = _jax.shard_map(shard_fn, mesh=pipe.mesh,
+                            in_specs=P(pipe.axis),
+                            out_specs=P(pipe.axis, None, None))
+
+        @_jax.jit
+        def run(x2):
+            return fn(x2.reshape(n_shards, -1)).reshape(
+                pipe.plan.count * n_shards, -1)
+        return run
+
+    out = {}
+    comm_cost = {}
+    for s in (1, 2, 4, 8):
+        mesh = Mesh(np.array(jax.devices()[:s]), ("shard",))
+        pipe = ShardedChannelizerPipeline(ch, plan, mesh)
+        xs = jnp.asarray(x)
+        out[s] = time_fn(pipe.build(), xs)
+        if s > 1:
+            nocomm = time_fn(build_nocomm(pipe), xs)
+            comm_cost[s] = round(100.0 * (1.0 - out[s] / nocomm), 1)
     base = out[1]
     # Virtual devices SHARE the host's physical cores (one XLA-CPU device
     # already uses every core), so per-device msps cannot scale here and
@@ -672,9 +718,13 @@ def scaling_worker() -> None:
         "msps_total": {k: round(v, 2) for k, v in out.items()},
         "graph_retention_pct": {k: round(100.0 * v / base, 1)
                                 for k, v in out.items()},
+        "collective_cost_pct": comm_cost,
         "note": "virtual 8-CPU mesh shares physical cores: retention "
-                "measures collective-graph overhead at fixed compute; "
-                "same graph as multi-chip",
+                "is noisy scheduling; collective_cost_pct compares the "
+                "sharded graph WITH vs WITHOUT its ppermute+all_to_all "
+                "on the same devices — the controlled measure of what "
+                "the collective structure costs (same graph as "
+                "multi-chip)",
     }))
 
 
