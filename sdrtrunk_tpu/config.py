@@ -47,6 +47,9 @@ class DecodeConfig:
     system: int | None = None
     timeslot: int | None = None
     talkgroups: list = field(default_factory=list)
+    # auxiliary decoders running on the channel's demodulated audio
+    # (AuxDecodeConfiguration: fleetsync2 / mdc1200 / lj1200 / tait1200)
+    aux: list = field(default_factory=list)
 
     def __post_init__(self):
         if self.decoder not in DECODER_TYPES:

@@ -154,6 +154,12 @@ class MonitorSession:
                     slot.index, rec_dir / f"{cfg.name}.bits")
             if cfg.record.baseband_iq and self.orch._iq_writer is None:
                 self.orch.start_iq_recording(rec_dir / "wideband_iq.wav")
+            # AuxDecodeConfig: fleetsync2/mdc1200/lj1200/tait1200 ride
+            # the channel's demodulated audio
+            if cfg.decode.aux and slot.processor is not None \
+                    and hasattr(slot.processor, "add_aux"):
+                for aux_name in cfg.decode.aux:
+                    slot.processor.add_aux(aux_name)
 
     # -- per-chunk hook ---------------------------------------------------
 

@@ -139,6 +139,17 @@ def _channel(el) -> ChannelConfig:
     log = el.find("event_log_configuration")
     if log is not None:
         cfg.event_log = _event_log_config(log)
+    aux = el.find("aux_decode_configuration")
+    if aux is not None:
+        # AuxDecodeConfiguration.java:41 <aux_decoder>FLEETSYNC2</...>
+        names = {"FLEETSYNC2": "fleetsync2", "MDC1200": "mdc1200",
+                 "LJ1200": "lj1200", "TAIT1200": "tait1200",
+                 "TAIT_1200": "tait1200", "MDC_1200": "mdc1200",
+                 "LJ_1200": "lj1200", "FLEETSYNC_2": "fleetsync2"}
+        for d in aux.findall("aux_decoder"):
+            name = names.get((d.text or "").strip().upper())
+            if name and name not in cfg.decode.aux:
+                cfg.decode.aux.append(name)
     return cfg
 
 

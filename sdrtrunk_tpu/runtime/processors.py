@@ -266,18 +266,57 @@ class NBFMChannelProcessor:
 
     def __init__(self, traffic=None, codec=None,
                  preload: IdentifierCollection | None = None,
-                 sample_rate: float = 8000.0):
+                 sample_rate: float = 8000.0, aux=None):
+        from .events import DecodeEventHistory
         self.audio = AnalogAudioModule(
             sample_rate=sample_rate,
             identifiers=preload.all() if preload is not None else None)
         self.metrics = ChannelMetrics()
         self.frame_count = 0
+        # auxiliary AFSK decoders over the same demodulated audio
+        # (DecoderFactory.java:398-425 aux module list)
+        self.aux: list = []
+        self.aux_messages: list = []
+        self.history = DecodeEventHistory()
+        for name in (aux or []):
+            self.add_aux(name)
+
+    def add_aux(self, protocol: str) -> None:
+        from ..decoders.auxdec import AuxDecoder
+        self.aux.append(AuxDecoder(protocol))
 
     def process_audio(self, audio: np.ndarray, gate: np.ndarray,
                       now: float) -> int:
         self.audio.receive(audio, gate, now)
+        n = 0
+        if self.aux:
+            from .events import DecodeEvent, DecodeEventType
+            blk = np.asarray(audio)[: len(audio) // 10 * 10]
+            for dec in self.aux:
+                for msg in dec.process(blk):
+                    self.aux_messages.append((dec.protocol, msg))
+                    n += 1
+                    mtype = getattr(msg, "message_type", None)
+                    ids = IdentifierCollection()
+                    for attr, role in (
+                            ("ident_from", IdentifierRole.FROM),
+                            ("from_id", IdentifierRole.FROM),
+                            ("ident_to", IdentifierRole.TO),
+                            ("to_id", IdentifierRole.TO),
+                            ("unit_id", IdentifierRole.FROM)):
+                        v = getattr(msg, attr, None)
+                        if v is not None:
+                            ids.update(Identifier.radio(v, role))
+                    self.history.receive(DecodeEvent(
+                        event_type=DecodeEventType.PAGE,
+                        time_start=now,
+                        protocol=dec.protocol.upper(),
+                        identifiers=ids,
+                        details=(mtype.value if hasattr(mtype, "value")
+                                 else str(mtype))))
         self.metrics.update(len(audio), ())
-        return 0
+        self.frame_count += n
+        return n
 
     def drain_audio(self):
         done = self.audio.completed

@@ -292,3 +292,31 @@ def test_auxdecoder_mdc1200_over_audio():
     audio = _pad10(afsk1200_modulate(1 - symbols))
     msgs = AuxDecoder("mdc1200").process(audio)
     assert any(m.unit_id == 0x0042 for m in msgs)
+
+
+def test_aux_wired_into_nbfm_channel_processor():
+    """AuxDecodeConfig wiring (DecoderFactory.java:398-425 aux module
+    list): an NBFM channel with aux=['fleetsync2'] decodes Fleetsync
+    bursts riding its demodulated audio into PAGE decode events."""
+    from sdrtrunk_tpu.runtime.processors import NBFMChannelProcessor
+
+    msg = _fleetsync_message(
+        fs2.encode_block(_fleetsync_block1(fleet=12, ident1=456)))
+    bits = np.concatenate([
+        np.tile(np.array([1, 0], np.uint8), 16),
+        msg, np.zeros(30, np.uint8)])
+    audio = _pad10(afsk1200_modulate(bits))
+    proc = NBFMChannelProcessor(aux=["fleetsync2"])
+    gate = np.ones(len(audio), bool)
+    n = proc.process_audio(audio, gate, now=1.0)
+    assert n >= 1
+    protos = {p for p, _ in proc.aux_messages}
+    assert "fleetsync2" in protos
+    events = proc.history.events
+    assert events and events[-1].protocol == "FLEETSYNC2"
+    roles = {i.role.value for e in events
+             for i in e.identifiers.all()}
+    assert "FROM" in roles and "TO" in roles
+    # the combined fleet+ident display id carries the encoded ident
+    assert any("456" in str(i.value) for e in events
+               for i in e.identifiers.all())
