@@ -535,6 +535,122 @@ def bench_orchestrator_bank_dmr(slots: int = 1023, timed_chunks: int = 4,
     }
 
 
+def bench_orchestrator_bank_p25p2(slots: int = 1023,
+                                  timed_chunks: int = 4,
+                                  chunk_blocks: int = 5120) -> dict:
+    """The P25 Phase 2 leg of the 1000-channel live target: 12.8 MHz
+    int8 IQ, every usable bin carrying a scrambled HDQPSK voice stream
+    (SACCH PTT + VOICE_4 fragments at 6000 baud), decoded through the
+    round-5 P25P2 bank tier — device 20-dibit sync correlation + host
+    P25P2BankFramer (batched ISCH/DUID/descramble/RS) + per-slot MAC
+    states (P25P2SuperFrameDetector.java:51 at 2046 logical
+    channels)."""
+    from sdrtrunk_tpu.dsp.channelizer import Channelizer
+    from sdrtrunk_tpu.dsp.synthesizer import synthesize_bank
+    from sdrtrunk_tpu.protocol.bits import from_int
+    from sdrtrunk_tpu.protocol.p25p2 import P25P2FragmentAssembler
+    from sdrtrunk_tpu.protocol.p25p2.timeslot import (MacPduType,
+                                                      sacch_encode,
+                                                      voice4_encode)
+    from sdrtrunk_tpu.runtime.identifiers import IdentifierCollection
+    from sdrtrunk_tpu.runtime.orchestrator import Orchestrator
+    from sdrtrunk_tpu.signal.generators import lsm_modulate
+
+    wacn, system, nac = 0xA4BC3, 0x123, 0x29A
+    m = 1024
+    fs = m * 12500.0
+    chunk = m * chunk_blocks
+    k = 2 * chunk // m
+    warmup = 3
+    total_chunks = warmup + timed_chunks
+
+    rng = np.random.default_rng(0)
+    asm = P25P2FragmentAssembler(wacn=wacn, system=system, nac=nac)
+    ptt = np.zeros(180, np.uint8)
+    ptt[0:3] = from_int(MacPduType.PTT.value, 3)
+    ptt[80:88] = from_int(0x80, 8)
+    ptt[104:128] = from_int(0xABCDE, 24)
+    ptt[128:144] = from_int(0x457, 16)
+    endptt = np.zeros(180, np.uint8)
+    endptt[0:3] = from_int(MacPduType.END_PTT.value, 3)
+    endptt[104:128] = from_int(0xABCDE, 24)
+    endptt[128:144] = from_int(0x457, 16)
+    frames = rng.integers(0, 2, (4, 72)).astype(np.uint8)
+    frags = [asm.assemble(i, [sacch_encode(ptt, scrambled=True),
+                              voice4_encode(frames),
+                              sacch_encode(ptt, scrambled=True),
+                              voice4_encode(frames)])
+             for i in range(3)]
+    # calls END once per cycle so voice->AudioSegment egress runs
+    frags.append(asm.assemble(0, [sacch_encode(endptt, scrambled=True),
+                                  voice4_encode(frames),
+                                  sacch_encode(endptt, scrambled=True),
+                                  voice4_encode(frames)]))
+    sf = P25P2FragmentAssembler.to_dibits(frags)   # one call cycle
+
+    ch = Channelizer.design(fs, 12500.0)
+    offsets = [(i - m // 2 + 1) * 12500.0 for i in range(m - 1)][:slots]
+    bins = np.array([ch.channel_for_frequency(o) for o in offsets])
+    starts = rng.integers(0, len(sf) * 3, slots)
+    need = int(starts.max()) + (total_chunks + 1) * k + len(sf)
+    dibits = np.tile(sf, need // (len(sf) * 4) + 2)
+    base = lsm_modulate(dibits, sample_rate=25000.0,
+                        symbol_rate=6000.0).astype(np.complex64)
+    assert len(base) >= need
+
+    iq8_chunks = []
+    for j in range(total_chunks):
+        u = np.zeros((k, m), np.complex64)
+        idx = starts[:, None] + j * k + np.arange(k)[None, :]
+        u[:, bins] = base[idx].T * 0.5
+        x = synthesize_bank(u, np.asarray(ch.hmat))[:chunk]
+        scale = 118.0 / max(np.abs(x.real).max(), np.abs(x.imag).max())
+        iq8_chunks.append(np.clip(np.stack(
+            [x.real, x.imag], -1) * scale, -127, 127).astype(np.int8))
+
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        j = pos // chunk
+        pos += num
+        return iq8_chunks[j] if j < len(iq8_chunks) else None
+
+    orch = Orchestrator(source, fs, 460e6, [offsets[0]], slots=slots,
+                        decoder="p25p2", chunk_samples=chunk,
+                        idle_teardown_seconds=1e9, ppm_correction=False)
+    for off in offsets[1:]:
+        orch._activate(460e6 + off, IdentifierCollection())
+    assert orch.bank_mode
+    # traffic channels carry the system's scramble parameters (control
+    # preload in production; set directly for the bench)
+    for s in range(slots):
+        orch.bank_proc.framer.set_scramble_parameters(s, wacn, system,
+                                                      nac)
+        if orch.bank_proc.states[s] is not None:
+            orch.bank_proc.states[s].scramble_key = (wacn, system, nac)
+
+    orch.run(max_chunks=warmup)
+    t0 = time.perf_counter()
+    orch.run(max_chunks=timed_chunks)
+    elapsed = time.perf_counter() - t0
+    msps = chunk * timed_chunks / elapsed / 1e6
+    status = orch.channel_status()
+    frames_n = sum(s["frames"] for s in status)
+    return {
+        "msps": round(msps, 3),
+        "realtime_factor": round(msps * 1e6 / fs, 3),
+        "slots": slots,
+        "timeslots": 2 * slots,
+        "wideband_rate_msps": fs / 1e6,
+        "chunk_samples": chunk,
+        "chunks": timed_chunks,
+        "fragments_decoded": int(frames_n),
+        "audio_segments": len(orch.audio_segments),
+        "ingest_format": "int8 IQ pairs (25.6 MB/s at 12.8 MHz)",
+    }
+
+
 def bench_orchestrator_bank_nbfm(slots: int = 1023, timed_chunks: int = 6
                                  ) -> dict:
     """The analog leg of the 1000-channel live target: 12.8 MHz int8 IQ,
@@ -1075,9 +1191,11 @@ def main():
             "bench_orchestrator_bank_nbfm(timed_chunks=6)")
         orchestrator_bank_dmr = run_isolated(
             "bench_orchestrator_bank_dmr(timed_chunks=6)")
+        orchestrator_bank_p25p2 = run_isolated(
+            "bench_orchestrator_bank_p25p2(timed_chunks=4)")
     if small:
         orchestrator_bank_dmr = orchestrator_bank_int4 = \
-            {"skipped": "small"}
+            orchestrator_bank_p25p2 = {"skipped": "small"}
     if small:
         protocols = pallas_cmp = {"skipped": "small"}
     else:
@@ -1110,6 +1228,7 @@ def main():
             "orchestrator_bank_c4fm_int4_1023": orchestrator_bank_int4,
             "orchestrator_bank_nbfm_1023": orchestrator_bank_nbfm,
             "orchestrator_bank_dmr_1023": orchestrator_bank_dmr,
+            "orchestrator_bank_p25p2_1023": orchestrator_bank_p25p2,
             "digital_protocols": protocols,
             "pallas_vs_xla": pallas_cmp,
             "dispatch_overhead": dispatch,
@@ -1140,6 +1259,8 @@ def main():
                              ).get("h2d_mbps"),
         "live_nbfm_rt": orchestrator_bank_nbfm.get("realtime_factor"),
         "live_dmr_rt": orchestrator_bank_dmr.get("realtime_factor"),
+        "live_p25p2_rt": orchestrator_bank_p25p2.get(
+            "realtime_factor"),
         "scaling_retention_pct": (scaling or {}).get(
             "graph_retention_pct"),
     }

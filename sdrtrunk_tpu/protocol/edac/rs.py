@@ -65,6 +65,39 @@ class ReedSolomon:
         parity = rem[::-1]
         return np.concatenate([data, parity])
 
+    # systematic-encoding matrix (lazy): row i = parity of the unit
+    # info vector e_i; encoding is GF-linear so batch parity is one
+    # log/exp lookup + XOR-reduce, like syndromes()
+    _enc_P = None
+
+    def encode_parity(self, data: np.ndarray) -> np.ndarray:
+        """Batched systematic parity: data (..., k) -> (..., nroots).
+
+        The fast path for punctured codes (P25P2 FACCH/SACCH): the 9
+        punctured parity symbols are substituted with zeros at decode,
+        so EVERY word — clean or not — carries >= 9 'errors' and the
+        syndrome screen never short-circuits; re-encoding the received
+        info and comparing only the TRANSMITTED parity detects clean
+        words in one vectorized pass (the per-word Berlekamp-Massey on
+        clean streams was a measured 20 s/chunk at 1023-slot P25P2
+        scale)."""
+        gf = self.gf
+        if self._enc_P is None:
+            P = np.zeros((self.k, self.nroots), np.int64)
+            e = np.zeros(self.k, np.int64)
+            for i in range(self.k):
+                e[:] = 0
+                e[i] = 1
+                P[i] = self.encode(e)[self.k:]
+            self._enc_P = P
+            self._enc_logP = gf.log[P]
+        d = np.asarray(data, np.int64)
+        logs = gf.log[d][..., :, None] + self._enc_logP  # (..., k, nr)
+        vals = gf.exp[logs]
+        vals = np.where((d[..., :, None] != 0)
+                        & (self._enc_P != 0), vals, 0)
+        return np.bitwise_xor.reduce(vals, axis=-2)
+
     # ---------------- decode ----------------
 
     def syndromes(self, received: np.ndarray) -> np.ndarray:

@@ -89,7 +89,8 @@ class P25P2BankFramer:
     """
 
     def __init__(self, channels: int, retain: int = 2048,
-                 max_sync_errors: int = MAX_SYNC_BIT_ERRORS):
+                 max_sync_errors: int = MAX_SYNC_BIT_ERRORS,
+                 max_hard_rs: int = 256):
         self.c = channels
         self.retain = retain
         self.max_sync_errors = max_sync_errors
@@ -102,6 +103,14 @@ class P25P2BankFramer:
         self._scram = [ScramblingSequence() for _ in range(channels)]
         self._seg_tensor = np.stack(
             [s.segments for s in self._scram])     # (C, 12, 320)
+        self._mac_cache: dict = {}
+        # signaling words repeat verbatim across slots and superframes
+        # on control/voice channels — memoize decode results by the
+        # raw hexbit pattern (pure function; bounded, clear-on-full)
+        self._sig_cache: dict = {}
+        self.max_hard_rs = max_hard_rs
+        self._hard_rs_budget = max_hard_rs
+        self.dropped_hard_rs = 0
 
     def set_scramble_parameters(self, slot: int, wacn: int, system: int,
                                 nac: int) -> None:
@@ -122,6 +131,7 @@ class P25P2BankFramer:
                 ) -> list[tuple[int, P25P2Fragment]]:
         dib = np.asarray(dib, np.uint8)
         counts = np.asarray(counts, np.int64)
+        self._hard_rs_budget = self.max_hard_rs     # per-chunk budget
         c, cap = dib.shape
         retain = self.retain
         w = np.concatenate([self.tail, dib], axis=1)
@@ -289,7 +299,17 @@ class P25P2BankFramer:
                     ts.mac_pdu_type = MacPduType(
                         int(info_bits[0]) * 4 + int(info_bits[1]) * 2
                         + int(info_bits[2]))
-                    ts.mac = parse_mac_pdu(info_bits)
+                    # control MACs repeat across slots/superframes at
+                    # bank scale — memoize by raw bits (pure parse,
+                    # read-only result)
+                    key = info_bits.tobytes()
+                    mac = self._mac_cache.get(key)
+                    if mac is None:
+                        if len(self._mac_cache) >= 4096:
+                            self._mac_cache.clear()
+                        mac = parse_mac_pdu(info_bits)
+                        self._mac_cache[key] = mac
+                    ts.mac = mac
                 ts_lists[i].append(ts)
 
         out = []
@@ -314,28 +334,60 @@ class P25P2BankFramer:
             posmat = _SACCH_POSMAT if is_sacch else _FACCH_POSMAT
             shorten = 35 - n_info
             hex_all = (b2[grp][:, posmat] @ _PW6)          # (g, nhex)
-            g = len(grp)
-            wire = np.zeros((g, 63), np.int64)
-            wire[:, shorten: 35] = hex_all[:, :n_info]
-            wire[:, 35: 35 + _PARITY_TX] = hex_all[:, n_info:]
-            synd = _RS.syndromes(wire)
-            clean = ~np.any(synd != 0, axis=1)
-            # clean words: info hexbits -> bits without BM
-            info_hex = wire[:, shorten: 35]                # (g, n_info)
-            bits6 = ((info_hex[:, :, None] >> (5 - np.arange(6))) & 1
-                     ).astype(np.uint8).reshape(g, n_info * 6)
-            for j, i in enumerate(grp):
-                if clean[j]:
-                    result[i] = (bits6[j], 0)
-                else:
-                    cw, nerr = _RS.decode(wire[j])
-                    if nerr is None:
-                        result[i] = (None, None)
+            hb = hex_all.astype(np.uint8)
+            keys = [hb[j].tobytes() for j in range(len(grp))]
+            cache = self._sig_cache
+            seen: set = set()
+            miss = []
+            for j, key in enumerate(keys):
+                if key not in cache and key not in seen:
+                    seen.add(key)
+                    miss.append(j)
+            if miss:
+                if len(cache) >= 8192:
+                    cache.clear()
+                g = len(miss)
+                sub = hex_all[miss]
+                wire = np.zeros((g, 63), np.int64)
+                wire[:, shorten: 35] = sub[:, :n_info]
+                wire[:, 35: 35 + _PARITY_TX] = sub[:, n_info:]
+                # encode-check screen: re-encode every word's info in
+                # one GF matmul and compare the 19 TRANSMITTED parity
+                # symbols (the 9 punctured ones are zero-substituted,
+                # so syndromes are nonzero even for clean words —
+                # rs.encode_parity)
+                expected = _RS.encode_parity(wire[:, :35])
+                clean = np.all(expected[:, :_PARITY_TX]
+                               == sub[:, n_info:], axis=1)
+                info_hex = wire[:, shorten: 35]
+                bits6 = ((info_hex[:, :, None] >> (5 - np.arange(6)))
+                         & 1).astype(np.uint8).reshape(g, n_info * 6)
+                for jj, j in enumerate(miss):
+                    if clean[jj]:
+                        cache[keys[j]] = (bits6[jj], 0)
+                    elif self._hard_rs_budget <= 0:
+                        # bounded degradation: error-bearing BM beyond
+                        # the per-chunk budget shed + counted (NOT
+                        # cached: next chunk's budget may decode it)
+                        self.dropped_hard_rs += 1
+                        result[grp[j]] = (None, None)
+                        continue
                     else:
-                        ih = cw[shorten: 35]
-                        ib = ((ih[:, None] >> (5 - np.arange(6))) & 1
-                              ).astype(np.uint8).reshape(n_info * 6)
-                        result[i] = (ib, nerr)
+                        self._hard_rs_budget -= 1
+                        cw, nerr = _RS.decode(wire[jj])
+                        if nerr is None:
+                            cache[keys[j]] = (None, None)
+                        else:
+                            ih = cw[shorten: 35]
+                            ib = ((ih[:, None] >> (5 - np.arange(6)))
+                                  & 1).astype(np.uint8).reshape(
+                                n_info * 6)
+                            cache[keys[j]] = (ib, max(int(nerr) - 9, 1))
+            for j, i in enumerate(grp):
+                if i not in result:
+                    # a key absent from the cache here means its BM
+                    # decode was shed this chunk (budget)
+                    result[i] = cache.get(keys[j], (None, None))
         return result
 
     def _advance(self, w: np.ndarray, counts: np.ndarray,

@@ -34,7 +34,7 @@ MAX_SYNC_BIT_ERRORS = 4
 _TS_OFFSETS = [(0, 40), (360, 400), (720, 760), (1080, 1120)]
 
 
-@dataclass
+@dataclass(slots=True)
 class P25P2Fragment:
     start: int                       # absolute dibit index of fragment start
     isch0: ISCH | None

@@ -109,7 +109,7 @@ def duid_decode(bits320: np.ndarray) -> tuple[DataUnitID | None, int]:
     return best, best_err
 
 
-@dataclass
+@dataclass(slots=True)
 class Timeslot:
     duid: DataUnitID
     index: int                      # 0..11 within the superframe (if known)
@@ -135,13 +135,24 @@ def _signaling_decode(bits320: np.ndarray, n_info: int,
                       positions) -> tuple[np.ndarray | None, int | None]:
     hexbits = np.array([to_int(bits320[p]) for p in positions], np.int64)
     info, parity = hexbits[:n_info], hexbits[n_info:]
+    shorten = 35 - n_info
+    # encode-check fast path: a clean word's re-encoded parity matches
+    # the 19 TRANSMITTED symbols (the 9 punctured ones are never on
+    # air, so the BM decoder sees >= 9 'errors' even on clean words —
+    # rs.encode_parity docstring)
+    padded = np.concatenate([np.zeros(shorten, np.int64), info])
+    expected = _RS.encode_parity(padded)
+    if np.array_equal(expected[:_PARITY_TX], parity):
+        return np.concatenate(
+            [from_int(int(h), 6) for h in info]), 0
     cw, nerr = _RS.decode(_rs_wire(info, parity, n_info))
     if nerr is None:
         return None, None
-    shorten = 35 - n_info
     info_bits = np.concatenate(
         [from_int(int(h), 6) for h in cw[shorten: 35]])
-    return info_bits, nerr
+    # report CHANNEL errors: BM's count includes the 9 punctured
+    # substitutions it always "corrects"
+    return info_bits, max(int(nerr) - _PUNCTURED, 1)
 
 
 def _signaling_encode(info_bits: np.ndarray, n_info: int,

@@ -49,6 +49,8 @@ class P25P2DecoderState:
         self.on_scramble_update = on_scramble_update
         self.audio = audio
         self.current_call: list[DecodeEvent | None] = [None, None]
+        self._call_key: list = [None, None]
+        self._ids_dirty = True
         self.scramble_key: tuple[int, int, int] | None = None
 
     # --- entry point -----------------------------------------------------
@@ -58,9 +60,16 @@ class P25P2DecoderState:
                 self._mac_pdu(ts, ts.mac, now)
             if (getattr(ts, "voice_frames", None) is not None
                     and self.audio is not None):
-                self.audio[ts.channel].receive_frames(
-                    ts.voice_frames, now,
-                    identifiers=self.identifiers.all())
+                # push identifiers only when the collection changed or
+                # a segment opens (per-voice-timeslot list rebuild was
+                # a measured cost at 1023-slot bank scale)
+                mod = self.audio[ts.channel]
+                ids = None
+                if self._ids_dirty or mod.segment is None:
+                    ids = self.identifiers.all()
+                    self._ids_dirty = False
+                mod.receive_frames(ts.voice_frames, now,
+                                   identifiers=ids)
         for sm in self.state:
             sm.check(now)
         self.traffic.check_teardown(now)
@@ -100,10 +109,12 @@ class P25P2DecoderState:
                 if self.on_scramble_update is not None:
                     self.on_scramble_update(*key)
             self.identifiers.update(Identifier.nac(nac))
+            self._ids_dirty = True
             return
         if s.opcode in _RFSS_STATUS_OPCODES and f:
             self.identifiers.update(
                 Identifier.site(f["site_id"], "APCO25-P2"))
+            self._ids_dirty = True
             return
         if s.opcode in _IDEN_OPCODES and f:
             self.traffic.update_band(FrequencyBand(
@@ -151,6 +162,18 @@ class P25P2DecoderState:
     # --- call lifecycle ----------------------------------------------------
     def _start_call(self, ch: int, now: float, group, source,
                     encrypted: bool) -> None:
+        # repeated PTT/channel-user MACs of an ongoing call carry the
+        # same addresses every superframe — refresh timers without
+        # rebuilding identifier objects (~7k PTTs/chunk at bank scale)
+        call = self.current_call[ch]
+        if call is not None and self._call_key[ch] == (group, source,
+                                                       encrypted):
+            self.state[ch].set_state(
+                ChannelState.ENCRYPTED if encrypted
+                else ChannelState.CALL, now)
+            call.update(now)
+            return
+        self._call_key[ch] = (group, source, encrypted)
         idents = IdentifierCollection()
         if group:
             idents.update(Identifier.talkgroup(
@@ -173,9 +196,11 @@ class P25P2DecoderState:
             call.identifiers.update_all(idents.all())
             call.update(now)
         self.identifiers.update_all(idents.all())
+        self._ids_dirty = True
 
     def _end_call(self, ch: int, now: float) -> None:
         call = self.current_call[ch]
+        self._call_key[ch] = None
         if call is not None:
             call.end(now)
             self.current_call[ch] = None
