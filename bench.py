@@ -426,7 +426,8 @@ def bench_orchestrator_bank(slots: int = 1023, timed_chunks: int = 4,
 
 
 def bench_orchestrator_bank_dmr(slots: int = 1023, timed_chunks: int = 4,
-                                chunk_blocks: int = 5120) -> dict:
+                                chunk_blocks: int = 5120,
+                                host_process: bool = False) -> dict:
     """The DMR leg of the 1000-channel live target: 12.8 MHz int8 IQ,
     every usable bin carrying a continuous DMR call cycle (voice header
     -> 4 voice superframes with embedded LC -> terminator), decoded by
@@ -508,7 +509,8 @@ def bench_orchestrator_bank_dmr(slots: int = 1023, timed_chunks: int = 4,
 
     orch = Orchestrator(source, fs, 460e6, [offsets[0]], slots=slots,
                         decoder="dmr", chunk_samples=chunk,
-                        idle_teardown_seconds=1e9, ppm_correction=False)
+                        idle_teardown_seconds=1e9, ppm_correction=False,
+                        host_process=host_process)
     for off in offsets[1:]:
         orch._activate(460e6 + off, IdentifierCollection())
     assert sum(s.active for s in orch.slots) == slots
@@ -537,7 +539,8 @@ def bench_orchestrator_bank_dmr(slots: int = 1023, timed_chunks: int = 4,
 
 def bench_orchestrator_bank_p25p2(slots: int = 1023,
                                   timed_chunks: int = 4,
-                                  chunk_blocks: int = 5120) -> dict:
+                                  chunk_blocks: int = 5120,
+                                  host_process: bool = False) -> dict:
     """The P25 Phase 2 leg of the 1000-channel live target: 12.8 MHz
     int8 IQ, every usable bin carrying a scrambled HDQPSK voice stream
     (SACCH PTT + VOICE_4 fragments at 6000 baud), decoded through the
@@ -618,17 +621,25 @@ def bench_orchestrator_bank_p25p2(slots: int = 1023,
 
     orch = Orchestrator(source, fs, 460e6, [offsets[0]], slots=slots,
                         decoder="p25p2", chunk_samples=chunk,
-                        idle_teardown_seconds=1e9, ppm_correction=False)
+                        idle_teardown_seconds=1e9, ppm_correction=False,
+                        host_process=host_process)
     for off in offsets[1:]:
         orch._activate(460e6 + off, IdentifierCollection())
     assert orch.bank_mode
     # traffic channels carry the system's scramble parameters (control
     # preload in production; set directly for the bench)
-    for s in range(slots):
-        orch.bank_proc.framer.set_scramble_parameters(s, wacn, system,
-                                                      nac)
-        if orch.bank_proc.states[s] is not None:
-            orch.bank_proc.states[s].scramble_key = (wacn, system, nac)
+    if host_process:
+        for s in range(slots):
+            orch.bank_host.reset_slot(
+                s, extra={"scramble_key": (wacn, system, nac)},
+                frequency=460e6 + offsets[min(s, len(offsets) - 1)])
+    else:
+        for s in range(slots):
+            orch.bank_proc.framer.set_scramble_parameters(s, wacn,
+                                                          system, nac)
+            if orch.bank_proc.states[s] is not None:
+                orch.bank_proc.states[s].scramble_key = (wacn, system,
+                                                         nac)
 
     orch.run(max_chunks=warmup)
     t0 = time.perf_counter()

@@ -94,7 +94,8 @@ class Orchestrator:
                  banks=None,
                  channel_map=None,
                  ingest_format: str = "auto",
-                 audio_format: str = "mulaw8"):
+                 audio_format: str = "mulaw8",
+                 host_process: bool = False):
         """control_rotation: optional list of absolute candidate control
         frequencies — while the control slot fails to reach CONTROL
         state within rotation_delay, cycle through them
@@ -187,7 +188,12 @@ class Orchestrator:
         self.bank_mode = bank_mode
         self.bank_analog = bank_mode and decoder in ("nbfm", "am")
         self.bank_mixed = bank_mode and decoder in _MIXED_KINDS
+        if host_process and (not bank_mode or self.bank_analog
+                             or self.bank_mixed or banks is not None):
+            raise ValueError("host_process requires a digital "
+                             "single-kind bank mode")
         self.bank_proc = None
+        self.bank_host = None
         self._bank_cap = None
         self._bank_ka = None
         self._bank_bit_cap = None
@@ -256,6 +262,22 @@ class Orchestrator:
         elif self.bank_analog:
             from .bank_processor import AnalogBankProcessor
             self.bank_proc = AnalogBankProcessor(slots)
+        elif self.bank_mode and host_process:
+            # the bank host layer (framer + states + traffic manager)
+            # runs in a WORKER PROCESS so its Python/numpy work is
+            # truly parallel to the device/tunnel management (the GIL
+            # serialized them in-process; runtime/bank_worker.py)
+            from .bank_worker import ProcessBankHost
+            self.bank_host = ProcessBankHost(
+                decoder, slots,
+                control_slots=set(range(len(control_offsets_hz))),
+                codec=self.codec,
+                protocol_label=_PROTOCOL_LABELS.get(
+                    decoder, decoder.upper()),
+                idle_teardown=idle_teardown_seconds,
+                bank_cap=self._bank_cap)
+            self._worker_events: list = []
+            self._worker_reply: dict = {}
         elif self.bank_mode:
             from .bank_processor import (DMRBankProcessor,
                                          P25P1BankProcessor,
@@ -603,6 +625,11 @@ class Orchestrator:
 
     def _bank_reset_slot(self, index: int, preload=None,
                          **extra) -> None:
+        if self.bank_host is not None:
+            self.bank_host.reset_slot(
+                index, preload=preload, extra=extra or None,
+                frequency=self.slots[index].frequency_hz)
+            return
         self.bank_proc.reset_slot(index, preload=preload, **extra)
         state = self.bank_proc.states[index]
         if self.event_logger is not None and hasattr(state, "history"):
@@ -610,7 +637,10 @@ class Orchestrator:
 
     def _slot_flush_drain(self, slot) -> None:
         """Flush open calls on a slot and collect its audio segments."""
-        if self.bank_mode:
+        if self.bank_host is not None:
+            self.audio_segments.extend(
+                self.bank_host.flush(slot.index, self.now))
+        elif self.bank_mode:
             self.bank_proc.flush(slot.index, self.now)
             self.audio_segments.extend(self.bank_proc.drain_audio(slot.index))
         elif slot.processor is not None:
@@ -754,11 +784,14 @@ class Orchestrator:
             extra = {}
             # P25P2 traffic channels need the control channel's learned
             # scramble key (preload data, ChannelProcessingManager:403)
-            key_fn = getattr(self.bank_proc, "scramble_key", None)
-            if key_fn is not None:
-                key = key_fn()
-                if key is not None:
-                    extra["scramble_key"] = key
+            if self.bank_host is not None:
+                key = (self.bank_host.scramble_key()
+                       if self.decoder_name == "p25p2" else None)
+            else:
+                key_fn = getattr(self.bank_proc, "scramble_key", None)
+                key = key_fn() if key_fn is not None else None
+            if key is not None:
+                extra["scramble_key"] = key
             self._bank_reset_slot(slot.index, preload=identifiers,
                                   **extra)
             return
@@ -945,10 +978,17 @@ class Orchestrator:
         counts = buf[pos: pos + 4 * c].view(np.int32)
         return audio, gate, bits, counts
 
-    def _pull_bank(self, out: dict) -> dict:
+    def _pull_bank(self, out: dict, now: float) -> dict:
         """Download-worker half of a bank chunk: transfer + unpack +
         bank-frame (stateful, called strictly in chunk order by the one
         download thread); the main thread only routes messages."""
+        if self.bank_host is not None:
+            active = np.array([s.active for s in self.slots])
+            control_index = next(s.index for s in self.slots
+                                 if s.is_control)
+            reply = self.bank_host.process_chunk(
+                np.asarray(out["packed"]), active, now, control_index)
+            return {"worker_reply": reply}
         if self.bank_mixed:
             audio, gate, bits, counts = self._split_packed_mixed(
                 np.asarray(out["packed_mixed"]))
@@ -970,7 +1010,7 @@ class Orchestrator:
         pll_raw = out.get("pll_raw")
         if "packed" in out or "packed_audio" in out \
                 or "packed_mixed" in out:
-            out = {**self._pull_bank(out)}     # un-pipelined bank path
+            out = {**self._pull_bank(out, now)}  # un-pipelined bank path
             pll_raw = out.get("pll_raw")
         if self.banks is not None:
             host = {key: np.asarray(v) for key, v in out.items()}
@@ -978,6 +1018,9 @@ class Orchestrator:
             if ctrl_pll in host:
                 pll_raw = float(host[ctrl_pll]
                                 [self.slots[0].local])
+        elif "worker_reply" in out:
+            reply = out["worker_reply"]
+            pll_raw = reply.get("pll")
         elif "bank_msgs" in out:
             bank_msgs, counts = out["bank_msgs"], out["counts"]
         elif "bank_mixed" in out:
@@ -1031,6 +1074,24 @@ class Orchestrator:
                     self.traffic.process_activity(slot.frequency_hz,
                                                   self.now)
                 self.audio_segments.extend(slot.processor.drain_audio())
+        elif self.bank_host is not None:
+            # worker-process bank: the worker already framed + routed;
+            # apply its traffic ACTIONS to the device plan and collect
+            # its outputs (one chunk of grant latency, like in-process
+            # pipelined mode)
+            frames = int(reply["per_slot"].sum())
+            self._worker_events.extend(reply["events"])
+            if self.event_logger is not None:
+                for e in reply["events"]:
+                    self.event_logger.receive(e)
+            self.audio_segments.extend(reply["audio"])
+            self._worker_reply = reply
+            for action in reply["actions"]:
+                if action[0] == "activate":
+                    _, freq, ids, kind = action
+                    self._activate(freq, ids, kind)
+                else:
+                    self._teardown(action[1])
         elif self.bank_mode:
             active = np.array([s.active for s in self.slots])
             if self.bank_mixed:
@@ -1070,11 +1131,15 @@ class Orchestrator:
                     self.traffic.process_activity(slot.frequency_hz,
                                                   self.now)
                 self.audio_segments.extend(slot.processor.drain_audio())
-        self.traffic.check_teardown(self.now)
+        if self.bank_host is None:
+            self.traffic.check_teardown(self.now)
 
         if self.rotation is not None:
             ctrl = next(s for s in self.slots if s.is_control)
-            if self.bank_mode:
+            if self.bank_host is not None:
+                self.rotation.state(
+                    self._worker_reply.get("control_state"), self.now)
+            elif self.bank_mode:
                 self.rotation.state(
                     self.bank_proc.channel_state(ctrl.index), self.now)
             elif hasattr(ctrl.processor, "channel_state"):
@@ -1101,7 +1166,8 @@ class Orchestrator:
                 metrics["upload_mbps"] = round(nbytes / dt / 1e6, 1)
         framer = getattr(self.bank_proc, "framer", None)
         if framer is not None:
-            for key in ("deferred_hard_bch", "expired_pending"):
+            for key in ("deferred_hard_bch", "expired_pending",
+                        "dropped_hard_rs"):
                 v = getattr(framer, key, 0)
                 if v:
                     metrics[key] = int(v)
@@ -1112,6 +1178,11 @@ class Orchestrator:
                       for m in self.bank_proc.metrics)
             if unk:
                 metrics["unknown_opcodes"] = int(unk)
+        if self.bank_host is not None:
+            metrics.update(self._worker_reply.get("degraded", {}))
+            if self._worker_reply.get("unknown_opcodes"):
+                metrics["unknown_opcodes"] = int(
+                    self._worker_reply["unknown_opcodes"])
         if pll_err_hz is not None:
             metrics["pll_error_hz"] = round(pll_err_hz, 1)
             metrics["correction_ppm"] = round(self.correction_ppm, 3)
@@ -1156,9 +1227,9 @@ class Orchestrator:
                 return None
             return self._prepare(iq)
 
-        def pull(out):
+        def pull(out, now):
             if self.bank_mode:
-                return self._pull_bank(out)
+                return self._pull_bank(out, now)
             return {key: np.asarray(v) for key, v in out.items()}
 
         def may_read(done: int) -> bool:
@@ -1192,7 +1263,7 @@ class Orchestrator:
                 prep = next_prepared() if may_read(chunks + 1) else None
                 fut = up_pool.submit(self._upload, prep) \
                     if prep is not None else None
-                cur = (down_pool.submit(pull, out), now)
+                cur = (down_pool.submit(pull, out, now), now)
                 if pending is not None:
                     metrics = self._process(pending[0].result(),
                                             pending[1])
@@ -1206,9 +1277,24 @@ class Orchestrator:
 
     @property
     def events(self) -> list[DecodeEvent]:
+        if self.bank_host is not None:
+            return self._worker_events
         return self.traffic.events
 
+    def close(self) -> None:
+        """Release the bank worker process (if any)."""
+        if self.bank_host is not None:
+            self.bank_host.close()
+            self.bank_host = None
+
     def channel_status(self) -> list[dict]:
+        if self.bank_host is not None:
+            return [{
+                "slot": s.index, "active": s.active,
+                "control": s.is_control, "frequency_hz": s.frequency_hz,
+                "frames": int(self.bank_host.frame_counts[s.index]),
+                "metrics": None,
+            } for s in self.slots]
         if self.bank_mode:
             return [{
                 "slot": s.index, "active": s.active,

@@ -427,3 +427,69 @@ def test_mpt1327_mixed_bank_mode():
     assert ctrl["frames"] >= 3, ctrl
     proc = orch.bank_proc.procs[0]
     assert any(m.message_type.value == "ALH" for m in proc.messages)
+
+
+def test_bank_worker_process_matches_in_process(bank_run):
+    """host_process=True moves the whole bank host layer (framer +
+    decoder states + traffic manager) into a worker process; the same
+    capture must produce the same product outcome as the in-process
+    bank run — grant followed, same call audio, teardown —
+    (runtime/bank_worker.py; the GIL-parallel live tier)."""
+    ref, _, _ = bank_run
+    duration_s = 2.6
+    total_dibits = int(duration_s * to.BAUD)
+    rng = np.random.default_rng(7)
+    voice = [rng.integers(0, 2, (9, 144)).astype(np.uint8)
+             for _ in range(2)]
+    n = None
+    wide = None
+    for offset, dibits in (
+            (to.CONTROL_OFF, to._control_stream(total_dibits)),
+            (to.TRAFFIC_OFF, to._traffic_stream(total_dibits, voice))):
+        iq = generators.c4fm_modulate(dibits, to.FS)
+        if wide is None:
+            n = len(iq) // 64 * 64
+            wide = np.zeros(n, np.complex64)
+        t = np.arange(n) / to.FS
+        wide += (iq[:n] * np.exp(2j * np.pi * offset * t)
+                 ).astype(np.complex64)
+    scale = float(np.max(np.abs(np.stack([wide.real, wide.imag]))))
+    iq8 = np.clip(np.stack([wide.real, wide.imag], -1) / scale * 120.0,
+                  -127, 127).astype(np.int8)
+    pos = 0
+
+    def source(num):
+        nonlocal pos
+        chunk = iq8[pos:pos + num]
+        pos += num
+        return chunk if len(chunk) else None
+
+    metrics_lines = []
+    orch = Orchestrator(
+        source, to.FS, to.CENTER_HZ, [to.CONTROL_OFF], slots=4,
+        chunk_samples=64 * 256, idle_teardown_seconds=0.6,
+        metrics_sink=metrics_lines.append, bank_mode=True,
+        host_process=True)
+    try:
+        orch.run()
+        freq = to.CENTER_HZ + to.TRAFFIC_OFF
+        assert not orch.skipped_grants
+        assert [e for e in orch.events
+                if e.frequency_hz == pytest.approx(freq)]
+        segs = [s for s in orch.audio_segments if s.duration > 0]
+        ref_segs = [s for s in ref.audio_segments if s.duration > 0]
+        assert len(segs) == len(ref_segs) == 1
+        assert segs[0].duration == pytest.approx(ref_segs[0].duration)
+        tgs = [i.value for i in segs[0].identifiers.all()
+               if i.role == IdentifierRole.TO]
+        assert to.GROUP in tgs
+        # traffic slot torn down after the call, like in-process
+        slot = next(s for s in orch.slots
+                    if not s.is_control and s.frequency_hz == freq)
+        assert not slot.active
+        status = orch.channel_status()
+        f_worker = sum(s["frames"] for s in status)
+        f_ref = sum(s["frames"] for s in ref.channel_status())
+        assert f_worker == f_ref, (f_worker, f_ref)
+    finally:
+        orch.close()
