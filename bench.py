@@ -118,6 +118,36 @@ def roofline_nbfm(rx, msps: float) -> dict:
     }
 
 
+def _synth_iq8_chunks(base, starts, bins, k, m, total_chunks, chunk,
+                      hmat, amp=0.5):
+    """Synthesize int8 wideband chunks through the PR synthesis bank WITH
+    filter-state carry across chunk boundaries: each call re-synthesizes
+    the previous chunk's last 2T blocks (pad, even so block parity is
+    preserved) and discards the warm-up, which equals one-shot synthesis
+    exactly (rel err 0.0, verified numerically). Independent per-chunk
+    synthesis loses the overlap-add tail at every seam, corrupting
+    ~2T*M/2 samples across ALL channels per boundary — measured 85 vs 16
+    unique P25P2 signaling words (and 141 vs 0 budget-dropped hard RS
+    decodes) on a 64-slot probe, an artifact a real capture never has."""
+    from sdrtrunk_tpu.dsp.synthesizer import synthesize_bank
+    hmat = np.asarray(hmat)
+    pad = 2 * hmat.shape[0]
+    half = m // 2
+    tail = np.zeros((pad, m), np.complex64)
+    xs = []
+    for j in range(total_chunks):
+        u = np.zeros((pad + k, m), np.complex64)
+        u[:pad] = tail
+        idx = starts[:, None] + j * k + np.arange(k)[None, :]
+        u[pad:, bins] = base[idx].T * amp
+        tail = u[-pad:].copy()
+        xs.append(synthesize_bank(u, hmat)[pad * half: pad * half + chunk])
+    scale = 118.0 / max(max(np.abs(x.real).max(), np.abs(x.imag).max())
+                        for x in xs)
+    return [np.clip(np.stack([x.real, x.imag], -1) * scale, -127, 127
+                    ).astype(np.int8) for x in xs]
+
+
 # ------------------------------------------------------------- core bench
 
 def bench_receiver(decoder: str, m: int, chunk_blocks: int, iters: int,
@@ -376,15 +406,8 @@ def bench_orchestrator_bank(slots: int = 1023, timed_chunks: int = 4,
     assert len(base) >= need
 
     # synthesize int8 wideband chunks through the PR synthesis bank
-    iq8_chunks = []
-    for j in range(total_chunks):
-        u = np.zeros((k, m), np.complex64)
-        idx = starts[:, None] + j * k + np.arange(k)[None, :]
-        u[:, bins] = base[idx].T * 0.5
-        x = synthesize_bank(u, np.asarray(ch.hmat))[:chunk]
-        scale = 118.0 / max(np.abs(x.real).max(), np.abs(x.imag).max())
-        iq8_chunks.append(np.clip(np.stack(
-            [x.real, x.imag], -1) * scale, -127, 127).astype(np.int8))
+    iq8_chunks = _synth_iq8_chunks(base, starts, bins, k, m,
+                                   total_chunks, chunk, ch.hmat)
 
     pos = 0
 
@@ -489,15 +512,8 @@ def bench_orchestrator_bank_dmr(slots: int = 1023, timed_chunks: int = 4,
                          ).astype(np.complex64)
     assert len(base) >= need
 
-    iq8_chunks = []
-    for j in range(total_chunks):
-        u = np.zeros((k, m), np.complex64)
-        idx = starts[:, None] + j * k + np.arange(k)[None, :]
-        u[:, bins] = base[idx].T * 0.5
-        x = synthesize_bank(u, np.asarray(ch.hmat))[:chunk]
-        scale = 118.0 / max(np.abs(x.real).max(), np.abs(x.imag).max())
-        iq8_chunks.append(np.clip(np.stack(
-            [x.real, x.imag], -1) * scale, -127, 127).astype(np.int8))
+    iq8_chunks = _synth_iq8_chunks(base, starts, bins, k, m,
+                                   total_chunks, chunk, ch.hmat)
 
     pos = 0
 
@@ -601,15 +617,8 @@ def bench_orchestrator_bank_p25p2(slots: int = 1023,
                         symbol_rate=6000.0).astype(np.complex64)
     assert len(base) >= need
 
-    iq8_chunks = []
-    for j in range(total_chunks):
-        u = np.zeros((k, m), np.complex64)
-        idx = starts[:, None] + j * k + np.arange(k)[None, :]
-        u[:, bins] = base[idx].T * 0.5
-        x = synthesize_bank(u, np.asarray(ch.hmat))[:chunk]
-        scale = 118.0 / max(np.abs(x.real).max(), np.abs(x.imag).max())
-        iq8_chunks.append(np.clip(np.stack(
-            [x.real, x.imag], -1) * scale, -127, 127).astype(np.int8))
+    iq8_chunks = _synth_iq8_chunks(base, starts, bins, k, m,
+                                   total_chunks, chunk, ch.hmat)
 
     pos = 0
 
@@ -692,15 +701,8 @@ def bench_orchestrator_bank_nbfm(slots: int = 1023, timed_chunks: int = 6
     bins = np.array([ch.channel_for_frequency(o) for o in offsets])
     starts = rng.integers(0, 25000, slots)
 
-    iq8_chunks = []
-    for j in range(total_chunks):
-        u = np.zeros((k, m), np.complex64)
-        idx = starts[:, None] + j * k + np.arange(k)[None, :]
-        u[:, bins] = base[idx].T * 0.5
-        x = synthesize_bank(u, np.asarray(ch.hmat))[:chunk]
-        scale = 118.0 / max(np.abs(x.real).max(), np.abs(x.imag).max())
-        iq8_chunks.append(np.clip(np.stack(
-            [x.real, x.imag], -1) * scale, -127, 127).astype(np.int8))
+    iq8_chunks = _synth_iq8_chunks(base, starts, bins, k, m,
+                                   total_chunks, chunk, ch.hmat)
 
     pos = 0
 

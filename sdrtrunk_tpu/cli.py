@@ -458,7 +458,8 @@ def cmd_monitor(args) -> int:
         audio_dir=args.audio_dir, event_log_path=args.event_log,
         traffic_slots=args.traffic_slots,
         bank_mode=(True if args.bank else None),
-        chunk_samples=args.chunk_samples)
+        chunk_samples=args.chunk_samples,
+        host_process=args.host_process)
     session.wire_sigint()
     if hasattr(tuner, "add_listener"):
         tuner.add_listener(session.orch.on_source_event)
@@ -662,6 +663,9 @@ def main(argv=None) -> int:
                    help="spare slots for granted traffic channels")
     p.add_argument("--bank", action="store_true",
                    help="force bank mode (auto at >=32 slots)")
+    p.add_argument("--host-process", action="store_true",
+                   help="run the bank host layer in a worker process "
+                        "(multi-core hosts; digital bank modes)")
     p.add_argument("--chunk-samples", type=int)
     p.add_argument("--duration", type=float,
                    help="stop after this many seconds of signal")

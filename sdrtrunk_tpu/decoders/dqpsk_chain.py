@@ -27,7 +27,15 @@ __all__ = ["DQPSKChainDecoder"]
 
 class DQPSKChainDecoder:
     """Base class; subclass __init__ must set self.config (with
-    .agc_window), self.baseband_taps, self.demod."""
+    .agc_window), self.baseband_taps, self.demod. A subclass may set
+    self.upsample = 2 to zero-stuff the channel stream before the
+    baseband FIR (which then doubles as the interpolation filter) —
+    the P25P2 path needs the reference's 50 kHz channel rate
+    (ChannelSpecification minimum; at 25 kHz the 6000-baud Gardner
+    loop runs at sps 4.17 and leaves ~0.5% residual dibit errors,
+    at 50 kHz it is error-free)."""
+
+    upsample = 1
 
     def init_state(self) -> dict:
         return {
@@ -39,6 +47,10 @@ class DQPSKChainDecoder:
 
     def _front(self, x: jnp.ndarray, state: dict):
         """FIR + power monitor + AGC for one channel."""
+        if self.upsample > 1:
+            up = self.upsample
+            x = (jnp.zeros((x.shape[0] * up,), x.dtype)
+                 .at[::up].set(x) * up)   # images removed by the LPF
         filtered, fir_state = fir.fir_apply(x, self.baseband_taps,
                                             state["fir"])
         power_trace, power_state = demod.power_db(

@@ -34,14 +34,22 @@ class P25P2Config:
 class P25P2Decoder(DQPSKChainDecoder):
     def __init__(self, config: P25P2Config = P25P2Config()):
         self.config = config
+        # the reference demands a 50 kHz minimum channel rate for
+        # Phase 2 (DecodeConfigP25Phase2 ChannelSpecification) — below
+        # 40 kHz the 6000-baud timing loop runs out of resolution
+        # (measured: sps 4.17 leaves ~0.5% dibit errors, sps 8.33 is
+        # clean), so a 25 kHz channelizer stream is zero-stuffed x2
+        # and the baseband FIR doubles as the interpolation filter
+        self.upsample = 2 if config.sample_rate < 40000.0 else 1
+        eff_rate = config.sample_rate * self.upsample
         self.baseband_taps = np.asarray(
             design.remez_lowpass(63, config.pass_hz, config.stop_hz,
-                                 config.sample_rate, 0.005, 0.005),
+                                 eff_rate, 0.005, 0.005),
             jnp.float32)
         demod_cls = (GardnerDQPSKDemodulator if config.timing == "gardner"
                      else DQPSKDemodulator)
         self.demod = demod_cls(
-            sample_rate=config.sample_rate,
+            sample_rate=eff_rate,
             symbol_rate=config.symbol_rate,
             sample_counter_gain=config.sample_counter_gain,
             loop_bandwidth=config.pll_bandwidth)

@@ -102,7 +102,8 @@ class MonitorSession:
                  emit=print, audio_dir=None, event_log_path=None,
                  traffic_slots: int = 4, bank_mode: bool | None = None,
                  codec=None, chunk_samples: int | None = None,
-                 control_rotation=None, min_audio_seconds: float = 0.0):
+                 control_rotation=None, min_audio_seconds: float = 0.0,
+                 host_process: bool = False):
         self.plan = plan_from_playlist(
             playlist, center_frequency_hz, sample_rate,
             traffic_slots=traffic_slots)
@@ -138,7 +139,8 @@ class MonitorSession:
             chunk_samples=chunk_samples,
             event_log_path=event_log_path,
             control_rotation=control_rotation,
-            metrics_sink=self._on_metrics)
+            metrics_sink=self._on_metrics,
+            host_process=host_process)
         control_slots = [s for s in self.orch.slots if s.is_control]
         for (off, kind, name), slot in zip(self.plan["controls"],
                                            control_slots):
@@ -216,7 +218,9 @@ class MonitorSession:
         for idx in list(self.orch._bits_recorders):
             self.orch.stop_bits_recording(idx)
         self.orch.stop_iq_recording()
-        return self.summary()
+        summary = self.summary()
+        self.orch.close()
+        return summary
 
     def summary(self) -> dict:
         orch = self.orch

@@ -215,7 +215,8 @@ class Orchestrator:
                 self._bank_bit_cap = int(
                     np.ceil((secs * baud * 1.25 + 16) / 32)) * 32
         elif bank_mode:
-            k = 2 * self.chunk_samples // m
+            k = (2 * self.chunk_samples // m
+                 * getattr(self.rx.decoder, "upsample", 1))
             demod = self.rx.decoder.demod
             sps_min = demod.samples_per_symbol * (1.0 - demod.max_deviation)
             self._bank_cap = int(np.ceil((k / sps_min + 8) / 64)) * 64
@@ -604,11 +605,36 @@ class Orchestrator:
         f_abs = self.center_frequency_hz + offset_hz
         offset_hz = offset_hz + self.correction_ppm * 1e-6 * f_abs
         ch = self.rx.channelizer
-        b = ch.channel_for_frequency(offset_hz)
-        if not 0 <= b < ch.channels:
-            raise ValueError(f"offset {offset_hz} outside coverage")
-        residual = offset_hz - ch.center_frequency(b)
-        self.bins[slot] = (b, b)
+        kind = self.slots[slot].kind or self.decoder_name
+        if kind == "p25p2":
+            # P25 Phase 2 gets the reference's WIDE channel
+            # (DecodeConfigP25Phase2 ChannelSpecification min 50 kHz):
+            # a straddling two-bin pair joined by the PR synthesizer
+            # serves the full flat 25 kHz joint passband, so an
+            # operator can park a Phase 2 channel anywhere — including
+            # between bin centers — exactly like the reference's
+            # TwoChannelOutputProcessor. Mirrors plan_channels'
+            # two-bin rule (dsp/extract.py:96-106); the chain then
+            # upsamples x2 for Gardner timing resolution.
+            spacing = ch.channel_spacing
+            # floor picks the straddling pair (m, m+1) with residual in
+            # [-spacing/2, spacing/2); round-half-even at exact bin
+            # centers could select the wrapped Nyquist pair at the
+            # band edges
+            mbin = int(np.floor(offset_hz / spacing))
+            served = ch.center_frequency(mbin) + spacing / 2.0
+            residual = offset_hz - served
+            if abs(residual) > spacing / 2 + 1e-6:
+                raise ValueError(
+                    f"offset {offset_hz} outside coverage")
+            self.bins[slot] = (mbin % ch.channels,
+                               (mbin + 1) % ch.channels)
+        else:
+            b = ch.channel_for_frequency(offset_hz)
+            if not 0 <= b < ch.channels:
+                raise ValueError(f"offset {offset_hz} outside coverage")
+            residual = offset_hz - ch.center_frequency(b)
+            self.bins[slot] = (b, b)
         self.steps[slot] = 2.0 * np.pi * residual / ch.channel_sample_rate
         self._plan_dev = None
         self.state = self._reset_slot(self.state, slot)
@@ -737,7 +763,8 @@ class Orchestrator:
         m = self.rx.channelizer.channels
         self.chunk_samples = self._default_chunk(m)
         if self.bank_mode:
-            k = 2 * self.chunk_samples // m
+            k = (2 * self.chunk_samples // m
+                 * getattr(self.rx.decoder, "upsample", 1))
             demod = self.rx.decoder.demod
             sps_min = demod.samples_per_symbol * (1.0 - demod.max_deviation)
             self._bank_cap = int(np.ceil((k / sps_min + 8) / 64)) * 64
