@@ -86,16 +86,18 @@ class FakeMBECodec(MBECodec):
             ).astype(np.float32)
         return cls._TONE_TABLE
 
+    _W16 = (1 << np.arange(16)[::-1]).astype(np.int64)
+
     def decode_batch(self, frames: np.ndarray,
                      frame_type: MBEFrameType) -> np.ndarray:
-        bits = np.atleast_2d(np.asarray(frames, np.uint8))   # (N, B)
-        n = bits.shape[0]
-        w = (1 << np.arange(16)[::-1]).astype(np.int64)
-        h = bits[:, :16] @ w                                 # (N,)
+        bits = np.asarray(frames, np.uint8)                  # (N, B)
+        if bits.ndim == 1:
+            bits = bits[None]
+        h = bits[:, :16] @ self._W16                         # (N,)
         # table lookup of the 64 possible tones (same values as the
         # direct sin; per-frame sin synthesis was a measured ~100 ms/
         # chunk at 14k voice frames per chunk in the DMR bank bench)
-        return self._tones()[h % 64].reshape(n * FRAME_SAMPLES)
+        return self._tones()[h & 63].reshape(-1)
 
 
 def load_codec(name: str = "jmbe") -> MBECodec | None:

@@ -21,6 +21,8 @@ boundary continues from per-slot stride state on the next call.
 """
 from __future__ import annotations
 
+from operator import itemgetter
+
 import numpy as np
 
 from ..bits import from_int
@@ -51,6 +53,11 @@ DMR_SYNC_DIBIT_PATTERNS = np.stack(
      for v in SYNC_VALUES.values()])     # (7, 24) dibit patterns
 _DIFF = np.array([[bin(a ^ b).count("1") for b in range(4)]
                   for a in range(4)], np.uint8)
+_DESC_KEY = itemgetter(0, 4)                # (slot, abs start)
+# data types whose decoded content is a pure value (safe to share
+# between frames via the bank framer's memo); packet-data content
+# feeds the stateful sequence assembler and is never cached
+_CACHEABLE_DT = frozenset((1, 2, 3, 9))     # VH, TLC, CSBK, IDLE
 
 
 class DMRBankFramer:
@@ -77,9 +84,30 @@ class DMRBankFramer:
         # reinjected next chunk reports its true error count
         self.pending: list[tuple[int, int, int, int]] = []
         self._helper = DMRFramer(max_sync_errors)
+        # control/LC data-burst content repeats verbatim across slots
+        # and superframes at bank scale (a voice header / terminator is
+        # re-sent every call cycle with identical LC bits) — memoize
+        # the BPTC+parse by info-bit pattern. Only value-type contents
+        # are cached (CSBK / full LC / idle); packet-data bursts flow
+        # through the stateful assembler uncached. Bounded,
+        # clear-on-full like the P25P2 framer's _sig_cache.
+        self._data_cache: dict = {}
 
     def _sync_errs(self, w: np.ndarray, lags: np.ndarray) -> tuple:
         """(C, L) min error + argmin pattern over the 7 sync patterns."""
+        if len(lags) <= 64:
+            # small lag sets (the per-chunk boundary re-check): one
+            # sliding-window gather + per-pattern LUT sum beats 7x24
+            # strided adds (~24 ms -> ~4 ms per chunk at 1023 slots)
+            win = np.lib.stride_tricks.sliding_window_view(
+                w, 24, axis=1)[:, lags]               # (C, L, 24)
+            errs = np.stack([_DIFF[win, pat[None, None, :]].sum(
+                axis=-1, dtype=np.uint16)
+                for pat in DMR_SYNC_DIBIT_PATTERNS])  # (7, C, L)
+            which = errs.argmin(axis=0).astype(np.uint8)
+            best = np.minimum(
+                errs.min(axis=0), 255).astype(np.uint8)
+            return best, which
         best = np.full((w.shape[0], len(lags)), 255, np.uint8)
         which = np.zeros((w.shape[0], len(lags)), np.uint8)
         for p in range(len(_PATTERNS)):
@@ -148,12 +176,17 @@ class DMRBankFramer:
                                         which[ok], serr[ok])
 
         # merge sync candidates + pendings into per-slot worklists
+        # (plain-int lists: np scalar extraction is ~10x a list index
+        # at ~14k candidates/chunk)
         per_slot: dict[int, list] = {}
-        for j in range(len(slots)):
-            s = int(slots[j])
-            per_slot.setdefault(s, []).append(
-                (int(wpos[j]) - SYNC_OFFSET_DIBITS + int(abs0[s]),
-                 int(which[j]), int(serr[j])))
+        if len(slots):
+            abs_l = (wpos - SYNC_OFFSET_DIBITS + abs0[slots]).tolist()
+            which_l = which.tolist()
+            serr_l = serr.tolist()
+            setdefault = per_slot.setdefault
+            for s, a, p, e in zip(slots.tolist(), abs_l, which_l,
+                                  serr_l):
+                setdefault(s, []).append((a, p, e))
         for s, a, p, e in pend:
             per_slot.setdefault(s, []).append((a, p, e))
 
@@ -175,10 +208,19 @@ class DMRBankFramer:
         # in one batched pass over the descriptor list.
         descs: list[tuple] = []  # (slot, pos, pattern, err, abs, emb,
         #                           flags)
+        valid_l = valid_w.tolist()
+        abs0_l = abs0.tolist()
+        # hot-walk locals (~28k iterations/chunk at bank scale)
+        emb_get = emb_lut.get
+        descs_append = descs.append
+        pending_append = self.pending.append
+        vfo = VOICE_FRAME_ORDER
+        n_vfo = len(vfo)
+        half_burst = BURST_DIBITS // 2
         for s in set(per_slot) | set(self.voice_next):
             items = sorted(per_slot.get(s, []))
-            vw = int(valid_w[s])
-            a0 = int(abs0[s])
+            vw = valid_l[s]
+            a0 = abs0_l[s]
             claimed = int(self.emitted_until[s])
             vn = self.voice_next.pop(s, None)
             i = 0
@@ -192,29 +234,29 @@ class DMRBankFramer:
                         continue
                     if pos + BURST_DIBITS > vw:
                         break                   # nothing later fits either
-                    if a >= claimed + BURST_DIBITS // 2:
-                        emb = emb_lut.get((s, a))
+                    if a >= claimed + half_burst:
+                        emb = emb_get((s, a))
                         if emb is None:         # defensive scalar path
                             emb = self._emb_scalar(w[s], pos)
                         if not emb.valid:
                             vn = None           # superframe lost
                             continue
-                        descs.append((s, pos, VOICE_FRAME_ORDER[idx],
+                        descs_append((s, pos, vfo[idx],
                                       0, a, emb, _CONT_FLAGS))
                         claimed = a
                     vn = ((a + BURST_DIBITS, idx + 1)
-                          if idx + 1 < len(VOICE_FRAME_ORDER) else None)
+                          if idx + 1 < n_vfo else None)
                 elif nxt is not None:
                     a, p_idx, err = nxt
                     i += 1
                     pos = a - a0
-                    if a < claimed + BURST_DIBITS // 2 or pos < 0:
+                    if a < claimed + half_burst or pos < 0:
                         continue
                     if pos + BURST_DIBITS > vw:
                         i -= 1
                         break                   # keep for next chunk
                     flags = _PFLAGS[p_idx]
-                    descs.append((s, pos, _PATTERNS[p_idx], err, a,
+                    descs_append((s, pos, _PATTERNS[p_idx], err, a,
                                   None, flags))
                     claimed = a
                     if flags & _FLAG_VOICE:
@@ -225,11 +267,12 @@ class DMRBankFramer:
             if vn is not None:
                 self.voice_next[s] = vn
             for a, p_idx, err in items[i:]:     # incomplete tail bursts
-                self.pending.append((s, a, p_idx, err))
+                pending_append((s, a, p_idx, err))
 
         # sorting the compact descriptors replaces the old per-frame
-        # sort (one tuple key per burst was ~0.1 s/chunk at bank scale)
-        descs.sort(key=lambda d: (d[0], d[4]))
+        # sort (one tuple key per burst was ~0.1 s/chunk at bank scale);
+        # itemgetter keeps the key extraction in C (~60k calls/chunk)
+        descs.sort(key=_DESC_KEY)
         out.extend(self._build_frames(w, descs))
 
         # advance rolling windows
@@ -270,7 +313,7 @@ class DMRBankFramer:
         bits[:, 0::2] = dib >> 1
         bits[:, 1::2] = dib & 1
         embs = emb_decode_batch(bits)
-        return {(int(s), int(a)): e for s, a, e in zip(es, ea, embs)}
+        return dict(zip(zip(es.tolist(), ea.tolist()), embs))
 
     def _emb_scalar(self, row: np.ndarray, pos: int):
         from .burst import EMB
@@ -329,10 +372,25 @@ class DMRBankFramer:
                 cach = None
                 ts = 1
             if f & _FLAG_DATA:
+                st = sts[di]
                 frame = DMRBurstFrame(pattern, a, bits[i], cach,
-                                      sts[di], None, ts, None, "", err)
+                                      st, None, ts, None, "", err)
                 di += 1
-                decode_data(frame)
+                if st.valid and st.data_type in _CACHEABLE_DT:
+                    b = bits[i]
+                    key = (st.data_type, b[24:122].tobytes(),
+                           b[190:288].tobytes())
+                    hit = self._data_cache.get(key)
+                    if hit is None:
+                        if len(self._data_cache) >= 4096:
+                            self._data_cache.clear()
+                        decode_data(frame)
+                        self._data_cache[key] = (frame.content,
+                                                 frame.content_kind)
+                    else:
+                        frame.content, frame.content_kind = hit
+                else:
+                    decode_data(frame)
             elif f & _FLAG_VOICE:
                 frame = DMRBurstFrame(
                     pattern, a, bits[i], cach, None, emb, ts,

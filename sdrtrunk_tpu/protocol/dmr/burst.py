@@ -143,6 +143,11 @@ class EMB:
 # identical to the scalar decode() paths (asserted in tests/test_dmr
 # _bankframer.py equivalence suites).
 
+# intern tables for the batch decoders' value-type outputs
+_ST_INTERN: dict[int, SlotType] = {}
+_EMB_INTERN: dict[int, EMB] = {}
+
+
 def cach_decode_batch(raw24: np.ndarray) -> list[CACH]:
     """(N, 24) interleaved CACH blocks -> N CACH objects."""
     d = np.asarray(raw24, np.uint8)[:, _CACH_MATRIX]
@@ -162,22 +167,42 @@ def slot_type_decode_batch(bits20: np.ndarray) -> list[SlotType]:
         [np.zeros((len(b), 4), np.uint8), b], axis=1)
     out, nerr = golay24_decode_batch(words)
     pw4 = (1 << (3 - np.arange(4))).astype(np.int64)
-    cc = (out[:, 4:8] @ pw4).tolist()
-    dt = (out[:, 8:12] @ pw4).tolist()
-    nl = nerr.tolist()
-    return [SlotType(color_code=cc[i], data_type=dt[i],
-                     valid=0 <= nl[i] < 3, corrected=max(nl[i], 0))
-            for i in range(len(b))]
+    # intern: SlotType is a pure value type with a small key space
+    # (color code, data type, validity, corrected count) — thousands of
+    # repeat constructions per chunk at bank scale collapse to dict hits
+    keys = ((out[:, 4:8] @ pw4) * 128 + (out[:, 8:12] @ pw4) * 8
+            + np.clip(nerr, -1, 6) + 1).tolist()
+    interned = _ST_INTERN
+    res = []
+    for k in keys:
+        st = interned.get(k)
+        if st is None:
+            nl = (k & 7) - 1
+            st = SlotType(color_code=k >> 7, data_type=(k >> 3) & 15,
+                          valid=0 <= nl < 3, corrected=max(nl, 0))
+            interned[k] = st
+        res.append(st)
+    return res
 
 
 def emb_decode_batch(bits16: np.ndarray) -> list[EMB]:
-    """(N, 16) EMB words -> N EMB objects."""
+    """(N, 16) EMB words -> N EMB objects (interned: 512 possible
+    values, ~15k constructions/chunk at bank scale collapse to dict
+    hits)."""
     w = np.asarray(bits16, np.uint8)
     out, nerr = _EMB_CODE.decode_batch(w)
     pw4 = (1 << (3 - np.arange(4))).astype(np.int64)
-    cc = (out[:, 0:4] @ pw4).tolist()
-    pi = out[:, 4].astype(bool).tolist()
-    lcss = ((out[:, 5].astype(np.int64) << 1) | out[:, 6]).tolist()
-    vl = (nerr >= 0).tolist()
-    return [EMB(color_code=cc[i], pi=pi[i], lcss=lcss[i], valid=vl[i])
-            for i in range(len(w))]
+    keys = ((out[:, 0:4] @ pw4) * 32
+            + out[:, 4].astype(np.int64) * 16
+            + (out[:, 5].astype(np.int64) * 2 + out[:, 6]) * 4
+            + (nerr >= 0) * 1).tolist()
+    interned = _EMB_INTERN
+    res = []
+    for k in keys:
+        e = interned.get(k)
+        if e is None:
+            e = EMB(color_code=k >> 5, pi=bool(k & 16),
+                    lcss=(k >> 2) & 3, valid=bool(k & 1))
+            interned[k] = e
+        res.append(e)
+    return res

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..audio.mbe import MBEAudioModule, MBEFrameType
 from ..protocol.dmr.framer import DMRBurstFrame
-from ..protocol.dmr.lc import embedded_lc_decode
+from ..protocol.dmr.lc import embedded_lc_decode_frags
 from ..protocol.dmr.packet import PacketSequenceAssembler
 from .events import DecodeEvent, DecodeEventHistory, DecodeEventType
 from .identifiers import Identifier, IdentifierCollection, IdentifierRole
@@ -38,6 +38,7 @@ class _SlotState:
                                     timeslot=timeslot)
         self.call: DecodeEvent | None = None
         self.lc_fragments: list = []
+        self.last_lc = None         # interned LC applied to identifiers
         self.ids_dirty = True      # identifiers changed since last push
 
 
@@ -128,9 +129,13 @@ class DMRDecoderState:
         else:
             slot.lc_fragments.append(frame.embedded_lc_fragment())
             if len(slot.lc_fragments) == 4:
-                lc = embedded_lc_decode(np.stack(slot.lc_fragments))
+                lc = embedded_lc_decode_frags(slot.lc_fragments)
                 slot.lc_fragments = []
-                if lc is not None:
+                # decode results are interned (lc.py _LC_CACHE), so an
+                # ongoing call's repeated LC is the SAME object — skip
+                # the per-superframe identifier rebuild when unchanged
+                if lc is not None and lc is not slot.last_lc:
+                    slot.last_lc = lc
                     slot.identifiers.update_all(
                         self._lc_identifiers(lc).identifiers.values())
                     slot.ids_dirty = True

@@ -31,6 +31,10 @@ class DecodeEventType(enum.Enum):
     COMMAND = "COMMAND"
     SDM = "SHORT DATA MESSAGE"
     UNKNOWN = "UNKNOWN"
+    # enum members are singletons and Enum equality is identity;
+    # object.__hash__ is the same semantics without the Python-level
+    # hash(self._name_) call (a measured cost at ~75k hashes/chunk)
+    __hash__ = object.__hash__
 
 
 @dataclass

@@ -25,6 +25,10 @@ class ChannelState(enum.Enum):
     IDLE = "IDLE"
     RESET = "RESET"
     TEARDOWN = "TEARDOWN"
+    # enum members are singletons and Enum equality is identity;
+    # object.__hash__ is the same semantics without the Python-level
+    # hash(self._name_) call (a measured cost at ~75k hashes/chunk)
+    __hash__ = object.__hash__
 
 
 S = ChannelState
