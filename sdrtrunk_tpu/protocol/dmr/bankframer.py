@@ -275,9 +275,9 @@ class DMRBankFramer:
         descs.sort(key=_DESC_KEY)
         out.extend(self._build_frames(w, descs))
 
-        # advance rolling windows
-        idx = (valid_w - retain)[:, None] + np.arange(retain)
-        self.tail = w[np.arange(self.c)[:, None], idx]
+        # advance rolling windows (row-copy via sliding-window view)
+        self.tail = np.lib.stride_tricks.sliding_window_view(
+            w, retain, axis=1)[np.arange(self.c), valid_w - retain]
         self.total += counts
         return out
 
@@ -335,7 +335,11 @@ class DMRBankFramer:
             return []
         s_arr = np.array([d[0] for d in descs])
         p_arr = np.array([d[1] for d in descs])
-        win = w[s_arr[:, None], p_arr[:, None] + np.arange(BURST_DIBITS)]
+        # row-copy gather via sliding-window view (one contiguous
+        # 144-byte copy per burst; the (N, 144) index-grid fancy gather
+        # was a measured hot spot at ~14k bursts/chunk)
+        win = np.lib.stride_tricks.sliding_window_view(
+            w, BURST_DIBITS, axis=1)[s_arr, p_arr]
         bits = np.empty((len(descs), BURST_BITS), np.uint8)
         bits[:, 0::2] = win >> 1
         bits[:, 1::2] = win & 1

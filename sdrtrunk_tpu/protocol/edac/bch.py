@@ -72,8 +72,11 @@ class BCH_63_16_11:
     def check_batch(self, bits: np.ndarray) -> np.ndarray:
         """(..., 63) bit words -> (...,) bool: True where the word is a
         valid BCH(63,16) codeword (zero remainder mod g)."""
-        b = np.asarray(bits, np.uint8)
-        rem = (b @ self._parity_rows.astype(np.int64)) & 1
+        # f32 BLAS matmul: parity sums < 64 are exact in f32 and the
+        # int64 matmul has no BLAS path (~50 ms/chunk at bank scale)
+        b = np.asarray(bits, np.float32)
+        rem = (b @ self._parity_rows.astype(np.float32)
+               ).astype(np.int64) & 1
         return ~np.any(rem, axis=-1)
 
     def encode(self, data_bits: np.ndarray) -> np.ndarray:

@@ -109,6 +109,12 @@ class P25P1BankFramer:
         self.retain = retain
         self.max_sync_errors = max_sync_errors
         self.max_hard_bch = max_hard_bch
+        # value-type message contents repeat verbatim at bank scale
+        # (idle control channels re-send identical TSBKs/TDULCs every
+        # frame) — memoize the EDAC+parse by payload bits. PDU content
+        # is excluded (PDUSequence is a mutable assembly). Bounded,
+        # clear-on-full like the DMR/P25P2 framer caches.
+        self._msg_cache: dict = {}
         # error-correcting (hard) BCH decode is only attempted when the
         # sync itself matched within hard_sync_gate bits: measured on
         # clean 1023-slot streams, the +-1-dibit images of every real
@@ -322,8 +328,13 @@ class P25P1BankFramer:
             g_rot = np.array([m[3] for m in members])
             pos = _FIXED_POS[d]
             if len(pos):
-                pd = w[g_s[:, None], g_p[:, None] + pos[None, :]]
-                pd = _REMAPS[g_rot[:, None], pd]
+                # contiguous row copy via sliding-window view, then one
+                # 1-D column select (the (Ng, P) int64 index-grid fancy
+                # gather was a measured hot spot at bank scale)
+                span = int(pos[-1]) + 1
+                rows = np.lib.stride_tricks.sliding_window_view(
+                    w, span, axis=1)[g_s, g_p]
+                pd = _REMAPS[g_rot[:, None], rows[:, pos]]
                 payloads = _dibits_to_bits_2d(pd)       # (Ng, bits)
             else:
                 payloads = np.zeros((len(members), 0), np.uint8)
@@ -343,15 +354,41 @@ class P25P1BankFramer:
                         bit_errors=m[5] + content.corrected)))
             else:
                 for m, payload in zip(members, payloads):
-                    out.append((m[0], decode_frame(P25P1Frame(
+                    out.append((m[0], self._decode_cached(P25P1Frame(
                         nac=m[4], duid=d, payload=payload, start=m[2],
                         bit_errors=m[5], rotation=m[6]))))
         for s, frame in scalar_frames:
-            out.append((s, decode_frame(frame)))
+            out.append((s, self._decode_cached(frame)))
 
         out.sort(key=lambda sm: (sm[0], sm[1].start))
         self._advance(w, counts, valid_w)
         return out
+
+    _CACHEABLE_DUIDS = frozenset((DUID.TSBK, DUID.TDULC, DUID.HDU,
+                                  DUID.TDU))
+
+    def _decode_cached(self, frame: P25P1Frame) -> P25P1Message:
+        """decode_frame with a content memo for value-type DUIDs; the
+        returned message still carries the frame's own nac/start/
+        bit_errors, only the parsed content is shared."""
+        if frame.duid not in self._CACHEABLE_DUIDS:
+            return decode_frame(frame)
+        key = (frame.duid, frame.payload.tobytes())
+        hit = self._msg_cache.get(key)
+        if hit is None:
+            if len(self._msg_cache) >= 4096:
+                self._msg_cache.clear()
+            msg = decode_frame(frame)
+            self._msg_cache[key] = (msg.content, msg.valid,
+                                    msg.bit_errors - frame.bit_errors,
+                                    msg.siblings)
+            return msg
+        content, valid, extra, siblings = hit
+        return P25P1Message(nac=frame.nac, duid=frame.duid,
+                            start=frame.start, content=content,
+                            valid=valid,
+                            bit_errors=frame.bit_errors + extra,
+                            siblings=siblings)
 
     def _push_pending(self, slot: int, abs_pos: int) -> None:
         self.pending.append((slot, abs_pos))
@@ -359,6 +396,9 @@ class P25P1BankFramer:
     def _advance(self, w: np.ndarray, counts: np.ndarray,
                  valid_w: np.ndarray) -> None:
         """Keep the last `retain` valid symbols of every slot."""
-        idx = (valid_w - self.retain)[:, None] + np.arange(self.retain)
-        self.tail = w[np.arange(self.c)[:, None], idx]
+        # row-copy via sliding-window view: the (C, retain) index-grid
+        # gather was ~40 ms/chunk at 1023 slots
+        self.tail = np.lib.stride_tricks.sliding_window_view(
+            w, self.retain, axis=1)[np.arange(self.c),
+                                    valid_w - self.retain]
         self.total += counts

@@ -44,12 +44,20 @@ _SYNC2_DIBITS = 540                              # sync2 at bit 1080
 _DIFF = np.array([[bin(a ^ b).count("1") for b in range(4)]
                   for a in range(4)], np.uint8)
 _PW6 = (1 << (5 - np.arange(6))).astype(np.int64)
+_PW6F = _PW6.astype(np.float32)
 _PW8 = (1 << (7 - np.arange(8))).astype(np.int64)
 _DUID_VALUES = np.array([0x00, 0x39, 0x65, 0x9A, 0xC6, 0xFF], np.int64)
 _DUIDS = [DataUnitID(int(v)) for v in _DUID_VALUES]
 _SCRAMBLED = np.array([d.is_scrambled for d in _DUIDS], bool)
 _FACCH_POSMAT = np.stack(_FACCH_POS)             # (45, 6)
 _SACCH_POSMAT = np.stack(_SACCH_POS)             # (49, 6)
+_IS_VOICE = np.array([d.is_voice for d in _DUIDS], bool)
+_MACPDU_BY_VAL = [MacPduType(v) for v in range(8)]
+_V4_ROW = int(np.nonzero(_DUID_VALUES == 0x00)[0][0])
+_V2_ROW = int(np.nonzero(_DUID_VALUES == 0x65)[0][0])
+# batched voice-frame gather index grids (frame starts x 72 bits)
+_V4_IDX = np.array([2, 76, 172, 246])[:, None] + np.arange(72)
+_V2_IDX = np.array([2, 76])[:, None] + np.arange(72)
 
 
 @lru_cache(maxsize=2048)
@@ -68,10 +76,12 @@ def _make_isch(value: int, errors: int) -> ISCH:
 def _isch_batch(words: np.ndarray, max_errors: int = 8) -> list:
     """(N, 40) -> N (ISCH | None): distance to all 128 codewords via
     one matmul (d = |b| + |c| - 2 b.c for 0/1 vectors)."""
-    cb = _codebook().astype(np.int64)            # (128, 40)
-    b = np.asarray(words, np.int64)
+    # float32 BLAS matmul: 0/1 vectors of length 40 are exact in f32,
+    # and the int64 matmul fallback was ~17 ms/call at bank scale
+    cb = _codebook().astype(np.float32)          # (128, 40)
+    b = np.asarray(words, np.float32)
     d = (b.sum(axis=1)[:, None] + cb.sum(axis=1)[None, :]
-         - 2 * (b @ cb.T))                       # (N, 128)
+         - 2.0 * (b @ cb.T)).astype(np.int64)    # (N, 128)
     best = d.argmin(axis=1)
     errs = d[np.arange(len(b)), best]
     return [(_make_isch(int(v), int(e)) if e <= max_errors else None)
@@ -241,7 +251,13 @@ class P25P2BankFramer:
         m = len(slots)
         if m == 0:
             return []
-        win = w[slots[:, None], start_pos[:, None] + np.arange(FRAG_DIBITS)]
+        # row-copy gather via a sliding-window view: building the
+        # (m, 720) int64 index grid + fancy-gathering 2.5M elements was
+        # ~110 ms/chunk; indexing the view copies one contiguous
+        # 720-byte row per fragment instead
+        swv = np.lib.stride_tricks.sliding_window_view(
+            w, FRAG_DIBITS, axis=1)
+        win = swv[slots, start_pos]                    # (m, 720)
         bits = np.empty((m, FRAGMENT_BITS), np.uint8)
         bits[:, 0::2] = win >> 1
         bits[:, 1::2] = win & 1
@@ -254,6 +270,7 @@ class P25P2BankFramer:
              for i0, i1 in zip(isch0, isch1)], np.int64)
 
         ts_lists: list[list] = [[] for _ in range(m)]
+        ts_base_l = ts_base.tolist()
         for unit, (_isch_off, ts_off) in enumerate(_TS_OFFSETS):
             raw = bits[:, ts_off: ts_off + 320]
             codes = raw[:, DUID_POSITIONS] @ _PW8          # (m,)
@@ -271,34 +288,41 @@ class P25P2BankFramer:
             b2 = np.where(scr[:, None], raw ^ seg, raw)
             b2[:, DUID_POSITIONS] = raw[:, DUID_POSITIONS]
 
-            voice_rows = [i for i in range(m) if has_duid[i]
-                          and _DUIDS[which[i]].is_voice]
-            sig_rows = [i for i in range(m) if has_duid[i]
-                        and not _DUIDS[which[i]].is_voice]
+            # vectorized row classification + batched voice-frame
+            # gathers (the per-row np.stack was ~28k calls/chunk)
+            vmask = has_duid & _IS_VOICE[which]
+            sig_rows = np.nonzero(has_duid & ~_IS_VOICE[which]
+                                  )[0].tolist()
             sig_info = self._signaling_batch(b2, sig_rows, which)
-            for i in voice_rows:
-                duid = _DUIDS[which[i]]
-                b = b2[i]
-                starts = ((2, 76, 172, 246)
-                          if duid == DataUnitID.VOICE_4 else (2, 76))
-                ts = Timeslot(duid=duid, index=int(ts_base[i]) + unit,
-                              channel=unit % 2, bits=b)
-                ts.voice_frames = np.stack([b[s: s + 72]
-                                            for s in starts])
-                if duid == DataUnitID.VOICE_4:
-                    ts.ess_b = b[148:172]
-                ts_lists[i].append(ts)
+            which_l = which.tolist()
+            ch = unit % 2
+            for d_row, grid in ((_V4_ROW, _V4_IDX), (_V2_ROW, _V2_IDX)):
+                rows = np.nonzero(vmask & (which == d_row))[0]
+                if not len(rows):
+                    continue
+                duid = _DUIDS[d_row]
+                vf = b2[rows][:, grid]                     # (g, n, 72)
+                is4 = d_row == _V4_ROW
+                for j, i in enumerate(rows.tolist()):
+                    b = b2[i]
+                    ts = Timeslot(duid=duid,
+                                  index=ts_base_l[i] + unit,
+                                  channel=ch, bits=b)
+                    ts.voice_frames = vf[j]
+                    if is4:
+                        ts.ess_b = b[148:172]
+                    ts_lists[i].append(ts)
             for i in sig_rows:
-                duid = _DUIDS[which[i]]
+                duid = _DUIDS[which_l[i]]
                 info_bits, nerr = sig_info[i]
-                ts = Timeslot(duid=duid, index=int(ts_base[i]) + unit,
-                              channel=unit % 2, bits=b2[i])
+                ts = Timeslot(duid=duid, index=ts_base_l[i] + unit,
+                              channel=ch, bits=b2[i])
                 ts.rs_errors = nerr
                 if info_bits is not None:
                     ts.mac_octets = info_bits
-                    ts.mac_pdu_type = MacPduType(
+                    ts.mac_pdu_type = _MACPDU_BY_VAL[
                         int(info_bits[0]) * 4 + int(info_bits[1]) * 2
-                        + int(info_bits[2]))
+                        + int(info_bits[2])]
                     # control MACs repeat across slots/superframes at
                     # bank scale — memoize by raw bits (pure parse,
                     # read-only result)
@@ -333,7 +357,13 @@ class P25P2BankFramer:
             n_info = 30 if is_sacch else 26
             posmat = _SACCH_POSMAT if is_sacch else _FACCH_POSMAT
             shorten = 35 - n_info
-            hex_all = (b2[grp][:, posmat] @ _PW6)          # (g, nhex)
+            # 1-D flat gather + f32 BLAS matmul (hexbits < 64 are exact
+            # in f32; the 2-D grid gather + int64 matmul was a measured
+            # ~60 ms/chunk at bank scale)
+            nhex = posmat.shape[0]
+            g_bits = b2[grp][:, posmat.reshape(-1)].astype(np.float32)
+            hex_all = (g_bits.reshape(-1, nhex, 6) @ _PW6F
+                       ).astype(np.int64)                  # (g, nhex)
             hb = hex_all.astype(np.uint8)
             keys = [hb[j].tobytes() for j in range(len(grp))]
             cache = self._sig_cache
@@ -392,6 +422,9 @@ class P25P2BankFramer:
 
     def _advance(self, w: np.ndarray, counts: np.ndarray,
                  valid_w: np.ndarray) -> None:
-        idx = (valid_w - self.retain)[:, None] + np.arange(self.retain)
-        self.tail = w[np.arange(self.c)[:, None], idx]
+        # row-copy via sliding-window view: the (C, retain) index-grid
+        # gather was ~40 ms/chunk at 1023 slots
+        self.tail = np.lib.stride_tricks.sliding_window_view(
+            w, self.retain, axis=1)[np.arange(self.c),
+                                    valid_w - self.retain]
         self.total += counts
