@@ -450,7 +450,8 @@ def bench_orchestrator_bank(slots: int = 1023, timed_chunks: int = 4,
 
 def bench_orchestrator_bank_dmr(slots: int = 1023, timed_chunks: int = 4,
                                 chunk_blocks: int = 5120,
-                                host_process: bool = False) -> dict:
+                                host_process: bool = False,
+                                ingest: str = "auto") -> dict:
     """The DMR leg of the 1000-channel live target: 12.8 MHz int8 IQ,
     every usable bin carrying a continuous DMR call cycle (voice header
     -> 4 voice superframes with embedded LC -> terminator), decoded by
@@ -526,7 +527,7 @@ def bench_orchestrator_bank_dmr(slots: int = 1023, timed_chunks: int = 4,
     orch = Orchestrator(source, fs, 460e6, [offsets[0]], slots=slots,
                         decoder="dmr", chunk_samples=chunk,
                         idle_teardown_seconds=1e9, ppm_correction=False,
-                        host_process=host_process)
+                        host_process=host_process, ingest_format=ingest)
     for off in offsets[1:]:
         orch._activate(460e6 + off, IdentifierCollection())
     assert sum(s.active for s in orch.slots) == slots
@@ -549,14 +550,17 @@ def bench_orchestrator_bank_dmr(slots: int = 1023, timed_chunks: int = 4,
         "chunks": timed_chunks,
         "frames_decoded": int(frames),
         "audio_segments": len(orch.audio_segments),
-        "ingest_format": "int8 IQ pairs (25.6 MB/s at 12.8 MHz)",
+        "ingest_format": (
+            "packed int4 IQ (12.8 MB/s at 12.8 MHz)" if ingest == "int4"
+            else "int8 IQ pairs (25.6 MB/s at 12.8 MHz)"),
     }
 
 
 def bench_orchestrator_bank_p25p2(slots: int = 1023,
                                   timed_chunks: int = 4,
                                   chunk_blocks: int = 5120,
-                                  host_process: bool = False) -> dict:
+                                  host_process: bool = False,
+                                  ingest: str = "auto") -> dict:
     """The P25 Phase 2 leg of the 1000-channel live target: 12.8 MHz
     int8 IQ, every usable bin carrying a scrambled HDQPSK voice stream
     (SACCH PTT + VOICE_4 fragments at 6000 baud), decoded through the
@@ -631,7 +635,7 @@ def bench_orchestrator_bank_p25p2(slots: int = 1023,
     orch = Orchestrator(source, fs, 460e6, [offsets[0]], slots=slots,
                         decoder="p25p2", chunk_samples=chunk,
                         idle_teardown_seconds=1e9, ppm_correction=False,
-                        host_process=host_process)
+                        host_process=host_process, ingest_format=ingest)
     for off in offsets[1:]:
         orch._activate(460e6 + off, IdentifierCollection())
     assert orch.bank_mode
@@ -667,7 +671,9 @@ def bench_orchestrator_bank_p25p2(slots: int = 1023,
         "chunks": timed_chunks,
         "fragments_decoded": int(frames_n),
         "audio_segments": len(orch.audio_segments),
-        "ingest_format": "int8 IQ pairs (25.6 MB/s at 12.8 MHz)",
+        "ingest_format": (
+            "packed int4 IQ (12.8 MB/s at 12.8 MHz)" if ingest == "int4"
+            else "int8 IQ pairs (25.6 MB/s at 12.8 MHz)"),
     }
 
 
@@ -1205,7 +1211,7 @@ def main():
         orchestrator_bank_dmr = run_isolated(
             "bench_orchestrator_bank_dmr(timed_chunks=6)")
         orchestrator_bank_p25p2 = run_isolated(
-            "bench_orchestrator_bank_p25p2(timed_chunks=4)")
+            "bench_orchestrator_bank_p25p2(timed_chunks=6)")
     if small:
         orchestrator_bank_dmr = orchestrator_bank_int4 = \
             orchestrator_bank_p25p2 = {"skipped": "small"}
