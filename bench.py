@@ -329,7 +329,7 @@ def bench_pallas_vs_xla(c: int = 1023, t: int = 10240) -> dict:
 
 
 def bench_digital_protocols(m: int = 1024, blocks: int = 5120,
-                            iters: int = 3) -> dict:
+                            iters: int = 12) -> dict:
     """Throughput of every digital protocol family through the full
     WidebandReceiver (VERDICT r3 weak #5: only C4FM was benched; LSM and
     P25P2 run the Gardner core — a different cost profile)."""
@@ -1177,7 +1177,12 @@ def main():
         # throughput plateau (1280->5120: nbfm 153->220 MS/s, c4fm
         # 185->225). Per-channel T = 10240 (divisible by 8) keeps the
         # digital legs on the Pallas symbol-recovery kernel path.
-        m, blocks, iters = 1024, 5120, 6
+        # 24 state-chained iterations: the final output pull carries a
+        # ~77 ms one-time sync on the tunneled backend (measured via the
+        # 6-vs-20-iteration delta), so short runs under-report the
+        # steady-state rate the chip actually sustains (each iteration
+        # consumes the previous state - no work can be skipped)
+        m, blocks, iters = 1024, 5120, 24
         c4fm_blocks = 5120
 
     profile_dir = "/tmp/sdrtrunk_tpu_trace" if profile else None

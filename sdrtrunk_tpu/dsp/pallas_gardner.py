@@ -62,12 +62,14 @@ def _gardner_kernel(x_re, x_im, bank, iw_re, iw_im, iscal,
     c = x_re.shape[1]
     bank_t = bank[:]                                   # (8, 129)
     arm_iota = jax.lax.broadcasted_iota(jnp.int32, (NSTEPS + 1, c), 0)
-    nbase = w - 7
 
-    def interp(win_re, win_im, offset):
+    def interp(win_re, win_im, offset, bases):
         """8-tap interpolate at fractional `offset` into the window:
         integer part one-hot selects the base shift, fractional part
-        one-hot selects the polyphase arm (both exact selections)."""
+        one-hot selects the polyphase arm (both exact selections).
+        `bases` is the static tuple of feasible integer offsets (see
+        GardnerDQPSKDemodulator.__post_init__) — at P25P2's 16-sample
+        window it cuts the select loop from 9 shifts to 2-3."""
         k = jnp.floor(offset).astype(jnp.int32)
         mu = offset - k.astype(jnp.float32)
         base = jnp.clip(k, 0, w - 8)                   # (1, C)
@@ -78,7 +80,7 @@ def _gardner_kernel(x_re, x_im, bank, iw_re, iw_im, iscal,
                        preferred_element_type=jnp.float32)  # (8, C)
         acc_re = jnp.zeros((1, c), jnp.float32)
         acc_im = jnp.zeros((1, c), jnp.float32)
-        for b in range(nbase):
+        for b in bases:
             sel = (base == b).astype(jnp.float32)      # (1, C)
             acc_re += sel * jnp.sum(taps * win_re[b:b + 8], axis=0,
                                     keepdims=True)
@@ -112,8 +114,9 @@ def _gardner_kernel(x_re, x_im, bank, iw_re, iw_im, iscal,
         has = sp < 1.0
 
         mu = jnp.clip(sp, 0.0, 1.0)
-        mid_re, mid_im = interp(win_re, win_im, mu)
-        cur_re, cur_im = interp(win_re, win_im, dsps * 0.5)
+        mid_re, mid_im = interp(win_re, win_im, mu, cfg["mid_bases"])
+        cur_re, cur_im = interp(win_re, win_im, dsps * 0.5,
+                                cfg["cur_bases"])
 
         # --- differential decode + normalize (both points) ---
         def diff_norm(s_re, s_im, p_re, p_im):
@@ -205,6 +208,7 @@ def gardner_pallas_batched(demod, x: jnp.ndarray, state, *,
         dsps_gain=demod.dsps_gain,
         alpha=demod.alpha, beta=demod.beta,
         max_pll_freq=demod.max_pll_freq,
+        mid_bases=demod.mid_bases, cur_bases=demod.cur_bases,
     )
 
     pad_c = [(0, cp - c)]

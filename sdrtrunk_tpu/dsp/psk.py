@@ -383,6 +383,20 @@ class GardnerDQPSKDemodulator:
         self.max_pll_freq = TWO_PI * (self.symbol_rate / 2.0) / self.sample_rate
         self.dsps_gain = 0.1 * self.sample_counter_gain ** 2
         self.bank = np.asarray(interpolator_bank())
+        # statically-feasible integer offsets for the two interpolation
+        # points (exact, not an approximation): the Gardner mid-point's
+        # offset is clip(sp, 0, 1) -> floor in {0, 1}; the symbol
+        # point's offset is detected_sps/2 with detected_sps clipped to
+        # [sps_min, sps_max]. Restricting the base-shift one-hot to
+        # these ranges (+-1 f32 edge margin) cuts the per-sample select
+        # work ~3-6x at P25P2's 16-sample window (9 shifts -> 5).
+        w = self.window_len
+        sps_min = self.samples_per_symbol * (1.0 - self.max_deviation)
+        sps_max = self.samples_per_symbol * (1.0 + self.max_deviation)
+        self.mid_bases = tuple(range(0, min(w - 8, 1) + 1))
+        lo = max(0, int(math.floor(sps_min / 2.0)) - 1)
+        hi = min(w - 8, int(math.floor(sps_max / 2.0)) + 1)
+        self.cur_bases = tuple(range(lo, hi + 1))
 
     def init_state(self) -> GardnerState:
         sps = self.samples_per_symbol
@@ -397,21 +411,25 @@ class GardnerDQPSKDemodulator:
             prev_cur_symbol=jnp.zeros((), jnp.complex64),
         )
 
-    def _interp(self, window: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    def _interp(self, window: jnp.ndarray, offset: jnp.ndarray,
+                bases: tuple | None = None) -> jnp.ndarray:
         """Interpolate at fractional `offset` samples into the (W, C)
         window, batched over channels: integer part selects the 8-tap
         base position (one-hot einsum over static shifts), fractional
-        part selects the polyphase arm (one-hot matmul)."""
+        part selects the polyphase arm (one-hot matmul). `bases`
+        statically restricts the feasible integer offsets (see
+        __post_init__; None = all)."""
         w = window.shape[0]
-        nbase = w - 7                                   # base in [0, W-8]
+        if bases is None:
+            bases = tuple(range(w - 7))                 # base in [0, W-8]
         k = jnp.floor(offset).astype(jnp.int32)
         mu = offset - k.astype(jnp.float32)
         base = jnp.clip(k, 0, w - 8)                    # (C,)
         taps = _arm_taps(jnp.asarray(self.bank, jnp.float32), mu)  # (8, C)
-        base_oh = (jnp.arange(nbase)[:, None] == base[None, :]
+        base_oh = (jnp.asarray(bases, jnp.int32)[:, None] == base[None, :]
                    ).astype(jnp.float32)                # (nbase, C)
-        # shifted[b, j, :] = window[b + j, :] for b in 0..nbase-1
-        shifted = jnp.stack([window[b:b + 8] for b in range(nbase)])
+        # shifted[b, j, :] = window[bases[b] + j, :]
+        shifted = jnp.stack([window[b:b + 8] for b in bases])
         w8 = (jnp.einsum("bc,bjc->jc", base_oh, shifted.real)
               + 1j * jnp.einsum("bc,bjc->jc", base_oh, shifted.imag))
         out = (jnp.sum(taps * w8.real, axis=0)
@@ -432,8 +450,9 @@ class GardnerDQPSKDemodulator:
         has_symbol = sampling_point < 1.0
 
         mu = jnp.clip(sampling_point, 0.0, 1.0)
-        mid_sample = self._interp(window, mu)
-        cur_sample = self._interp(window, state.detected_sps / 2.0)
+        mid_sample = self._interp(window, mu, self.mid_bases)
+        cur_sample = self._interp(window, state.detected_sps / 2.0,
+                                  self.cur_bases)
 
         mid_symbol = _normalize(mid_sample * jnp.conj(state.prev_mid_sample))
         cur_symbol = _normalize(cur_sample * jnp.conj(state.prev_cur_sample))
