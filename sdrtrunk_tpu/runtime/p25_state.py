@@ -32,6 +32,7 @@ class P25P1DecoderState:
 
     _HANDLERS = {
         DUID.TSBK: "_tsbk",
+        DUID.PDU: "_pdu",
         DUID.HDU: "_hdu",
         DUID.LDU1: "_ldu1",
         DUID.LDU2: "_ldu2",
@@ -79,6 +80,60 @@ class P25P1DecoderState:
         elif t.opcode == 0x3A and f:            # RFSS status
             self.identifiers.update(Identifier.site(f["site_id"], "APCO25"))
         self.traffic.check_teardown(now)
+
+    def _pdu(self, message: P25P1Message, now: float) -> None:
+        """PDU sequences on the control/data path: AMBTC trunking
+        control routes grants/broadcasts like their TSBK twins
+        (PDUMessageFactory.createAMBTC:208); packet-data PDUs assemble
+        into IP payloads surfaced as DATA_PACKET / GPS events (the
+        reference's PacketMessageFactory -> module/decode/ip path)."""
+        from ..protocol.p25p1.ambtc import parse_ambtc
+        from ..protocol.p25p1.pdu import assemble_packet, pdu_dispatch
+        seq = message.content
+        if seq is None:
+            return
+        h = seq.header
+        if h.format == 23:                   # AMBTC
+            m = parse_ambtc(seq)
+            if m is None or not m.outbound:
+                return
+            f = m.fields
+            self.state_machine.set_state(ChannelState.CONTROL, now)
+            if m.opcode in (0, 17) and f:     # group voice/data grant
+                self.traffic.process_grant(
+                    band_id=f["frequency_band"],
+                    channel_number=f["channel_number"], now=now,
+                    group=f["group_address"],
+                    source=f.get("source_address"))
+            elif m.opcode == 4 and f:         # unit-to-unit grant
+                self.traffic.process_grant(
+                    band_id=f["frequency_band"],
+                    channel_number=f["channel_number"], now=now,
+                    group=f.get("target_address"),
+                    source=f.get("source_address"))
+            elif m.opcode == 58 and f:        # RFSS status
+                self.identifiers.update(
+                    Identifier.site(f["site_id"], "APCO25"))
+            self.traffic.check_teardown(now)
+            return
+        if not seq.complete:
+            return
+        packed = assemble_packet(seq)
+        if packed is None:
+            return
+        payload, crc_ok = packed
+        if not crc_ok:
+            return
+        parsed = pdu_dispatch(h, payload)
+        if parsed is None:
+            return
+        ids = IdentifierCollection()
+        ids.update(Identifier.radio(h.llid, IdentifierRole.TO
+                                    if h.outbound else IdentifierRole.FROM))
+        self.history.receive(DecodeEvent(
+            event_type=DecodeEventType.DATA_PACKET, time_start=now,
+            protocol="APCO25", identifiers=ids,
+            details=type(parsed).__name__))
 
     def _vendor_tsbk(self, t, now: float) -> None:
         """Motorola OSP handling (tsbk_vendor): patch-group channel
