@@ -100,10 +100,13 @@ def roofline_nbfm(rx, msps: float) -> dict:
     # f32); a VPU issue takes ~0.02 us at these shapes (measured with a
     # micro-kernel: (1,1024) elementwise sustains 1.6 Gelem/s vs 13.7
     # for (64,128) — per-op issue overhead dominates small blocks), so
-    # the loop is op-ISSUE-bound. Raising MFU further means fewer ops
-    # per demodulated sample (fusing the PLL trig into a rotation
-    # recurrence, merging clamp/select chains) or more channels per op —
-    # not more FLOPs.
+    # the loop is op-ISSUE-bound. Round 5 took the cheapest of the named
+    # reductions — statically restricting the Gardner interpolator's
+    # base-shift selects (dsp/pallas_gardner.py) — worth +27% on the
+    # P25P2 flagship; the remaining candidates (PLL trig as a rotation
+    # recurrence with periodic renorm, merged clamp/select chains) trade
+    # exact reference numerics for ops and are left documented rather
+    # than taken.
     return {
         "flops_per_sample": round(flops_per_sample, 1),
         "bytes_per_sample": round(bytes_per_sample, 1),
