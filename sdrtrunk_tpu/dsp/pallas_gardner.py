@@ -11,9 +11,10 @@ DQPSKGardnerDemodulator.java:30-88 / DQPSKGardnerSymbolEvaluator.java:
   * TWO interpolation points per symbol: the Gardner mid-point at mu and
     the symbol point half a detected symbol period into the window;
   * the symbol point's integer base slides per channel, so the 8-tap
-    window fetch is a one-hot select over the nbase = W-7 static shifts
-    (no per-lane dynamic slice on TPU), exactly like the XLA scan's
-    _interp;
+    window fetch is a one-hot select over the statically-feasible base
+    shifts (no per-lane dynamic slice on TPU; the feasible set is 2-3
+    shifts, see GardnerDQPSKDemodulator.mid_bases/cur_bases), exactly
+    like the XLA scan's _interp;
   * Gardner TED drives timing, the quadrant decision + de-rotated
     quadrature of the symbol sample drives the PLL.
 
