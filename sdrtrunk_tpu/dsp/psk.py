@@ -13,8 +13,9 @@ channel axis lands on the TPU lane dimension — the vmapped (C, W) layout
 put the tiny W axis on lanes (padded 10->128) and made every window shift
 a cross-lane shuffle. Measured on the v5e at C=1023: 101 Mchan-samples/s
 vmapped -> 375 with the batched layout (round 3; the bench's
-pallas_vs_xla section records the current numbers — ~740 XLA scan vs
-~1000 Pallas for the DD core). The interpolator arm lookup
+pallas_vs_xla section records the current numbers — round 5: DD core
+702 XLA scan vs 882 Pallas, Gardner 528 vs 942 Mchan-samples/s after
+the static base-shift restriction). The interpolator arm lookup
 bank[idx] is computed as a one-hot (129, C) matmul against the (129, 8)
 tap bank instead of a per-lane gather (XLA:TPU serializes minor-dim
 gathers; the matmul rides the MXU and is exact — one-hot row selection
