@@ -128,6 +128,35 @@ _LC_FIELDS: dict[int, list] = {
 # opcodes where bits 8-16 are a vendor MFID: only parse standard vendors
 _MFID_GATED = {0x00, 0x03, 0x0F}
 
+# Motorola vendor link control (lc/motorola/*.java; opcode values from
+# LinkControlOpcode.java:92-96, selected when the MFID octet is 0x90)
+MFID_MOTOROLA = 0x90
+_MOTO_LC_NAMES = {
+    0x00: "MOTOROLA_PATCH_GROUP_VOICE_CHANNEL_USER",
+    0x01: "MOTOROLA_PATCH_GROUP_VOICE_CHANNEL_UPDATE",
+    0x03: "MOTOROLA_PATCH_GROUP_ADD",
+    0x04: "MOTOROLA_PATCH_GROUP_DELETE",
+    0x0F: "MOTOROLA_TALK_COMPLETE",
+}
+_MOTO_LC_FIELDS = {
+    # LCMotorolaPatchGroupVoiceChannelUser.java:38-41 (patch group is
+    # the call's super-talkgroup: exposed under both names so the call
+    # identifier path treats it like a group address)
+    0x00: [("service_options", 16, 24), ("group_address", 32, 48),
+           ("patch_group", 32, 48), ("source_address", 48, 72)],
+    # LCMotorolaPatchGroupVoiceChannelUpdate.java:42-47
+    0x01: [("patch_group", 24, 40), ("frequency_band", 56, 60),
+           ("channel_number", 60, 72)],
+    # LCMotorolaPatchGroupAdd.java:37-39
+    0x03: [("patch_group", 16, 32), ("patched_group_1", 32, 48),
+           ("patched_group_2", 48, 64)],
+    # LCMotorolaPatchGroupDelete.java:37-39
+    0x04: [("patch_group", 16, 32), ("patched_group_1", 32, 48),
+           ("patched_group_2", 48, 64)],
+    # LCMotorolaTalkComplete.java:40
+    0x0F: [("address", 48, 72)],
+}
+
 
 @dataclass
 class LinkControl:
@@ -136,9 +165,13 @@ class LinkControl:
     opcode: int
     raw: np.ndarray              # full 72 bits
     fields: dict = field(default_factory=dict)
+    mfid: int = 0                # vendor (0x90 = Motorola LC words)
 
     @property
     def opcode_name(self) -> str:
+        if self.mfid == MFID_MOTOROLA:
+            return _MOTO_LC_NAMES.get(self.opcode,
+                                      f"MOTOROLA_LCO_{self.opcode:02X}")
         return LCO_NAMES.get(self.opcode, f"LCO_{self.opcode:02X}")
 
 
@@ -148,7 +181,13 @@ def lc_parse(bits72: np.ndarray) -> LinkControl:
         raise ValueError("link control word must be 72 bits")
     lc = LinkControl(protected=bool(b[0]), implicit=not bool(b[1]),
                      opcode=to_int(b, 2, 8), raw=b)
-    if lc.opcode in _MFID_GATED and to_int(b, 8, 16) not in (0x00, 0x01):
+    mfid = to_int(b, 8, 16)
+    if mfid == MFID_MOTOROLA and lc.opcode in _MOTO_LC_FIELDS:
+        lc.mfid = mfid
+        lc.fields = {name: to_int(b, lo, hi)
+                     for name, lo, hi in _MOTO_LC_FIELDS[lc.opcode]}
+        return lc
+    if lc.opcode in _MFID_GATED and mfid not in (0x00, 0x01):
         return lc
     # IDEN_UP carries scaled values (LCFrequencyBandUpdate[Explicit].java)
     if lc.opcode == 0x18:

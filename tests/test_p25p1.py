@@ -206,3 +206,44 @@ def test_p25_c4fm_end_to_end():
         assert msg.valid and msg.nac == 0x293
         assert msg.content.opcode == opcode
         assert np.array_equal(msg.content.args, args)
+
+
+def test_motorola_lc_patch_group_words():
+    """Motorola vendor LC words (lc/motorola/*.java): MFID 0x90 selects
+    the vendor layouts, including the patch-group voice channel user
+    whose patch group doubles as the call's group address."""
+    import numpy as np
+
+    from sdrtrunk_tpu.protocol.bits import from_int
+    from sdrtrunk_tpu.protocol.p25p1.lc import MFID_MOTOROLA, lc_parse
+
+    b = np.zeros(72, np.uint8)
+    b[2:8] = from_int(0x00, 6)            # opcode 0: patch group user
+    b[8:16] = from_int(MFID_MOTOROLA, 8)
+    b[16:24] = from_int(0x20, 8)          # service options
+    b[32:48] = from_int(0x1234, 16)       # patch group
+    b[48:72] = from_int(0xABCDE, 24)      # source
+    lc = lc_parse(b)
+    assert lc.mfid == MFID_MOTOROLA
+    assert lc.opcode_name == "MOTOROLA_PATCH_GROUP_VOICE_CHANNEL_USER"
+    assert lc.fields["group_address"] == 0x1234
+    assert lc.fields["patch_group"] == 0x1234
+    assert lc.fields["source_address"] == 0xABCDE
+
+    b2 = np.zeros(72, np.uint8)
+    b2[2:8] = from_int(0x03, 6)           # patch group add
+    b2[8:16] = from_int(MFID_MOTOROLA, 8)
+    b2[16:32] = from_int(0x0A0B, 16)
+    b2[32:48] = from_int(0x0C0D, 16)
+    lc2 = lc_parse(b2)
+    assert lc2.opcode_name == "MOTOROLA_PATCH_GROUP_ADD"
+    assert lc2.fields["patch_group"] == 0x0A0B
+    assert lc2.fields["patched_group_1"] == 0x0C0D
+
+    b3 = np.zeros(72, np.uint8)
+    b3[2:8] = from_int(0x0F, 6)           # talk complete
+    b3[8:16] = from_int(MFID_MOTOROLA, 8)
+    b3[48:72] = from_int(0x555, 24)
+    lc3 = lc_parse(b3)
+    assert lc3.opcode_name == "MOTOROLA_TALK_COMPLETE"
+    assert lc3.fields["address"] == 0x555
