@@ -18,7 +18,8 @@ from dataclasses import dataclass, field
 from ..bits import to_int
 from .pdu import PDUSequence
 
-__all__ = ["AMBTC", "parse_ambtc", "AMBTC_OSP_NAMES", "AMBTC_ISP_NAMES"]
+__all__ = ["AMBTC", "parse_ambtc", "parse_umbtc",
+           "AMBTC_OSP_NAMES", "AMBTC_ISP_NAMES"]
 
 # TSBK opcode space (message/tsbk/Opcode.java) — the subset that appears
 # as AMBTC per PDUMessageFactory.createAMBTC
@@ -38,6 +39,7 @@ AMBTC_OSP_NAMES = {
 }
 AMBTC_ISP_NAMES = {
     4: "UU_V_REQ",
+    8: "TELE_INT_DIAL_REQ",
     24: "STS_UPDT_REQ",
     28: "MSG_UPDT_REQ",
     31: "CALL_ALRT_REQ",
@@ -59,6 +61,29 @@ class AMBTC:
         return table.get(self.opcode,
                          f"{'OSP' if self.outbound else 'ISP'}"
                          f"_{self.opcode:02X}")
+
+
+def parse_umbtc(seq: PDUSequence) -> AMBTC | None:
+    """UMBTC (format 21): the opcode rides in data block 0 bits [2:8)
+    (PDUMessageFactory.createUMBTC:294-311; the reference's only typed
+    UMBTC is the telephone-interconnect explicit dial request,
+    umbtc/isp/UMBTCTelephoneInterconnectRequestExplicitDialing.java)."""
+    h = seq.header
+    blocks = [b for b in seq.blocks if b.valid]
+    if not blocks:
+        return None
+    b0 = blocks[0].payload
+    msg = AMBTC(opcode=to_int(b0, 2, 8), outbound=h.outbound,
+                address=to_int(h.raw, 24, 48))
+    if not h.outbound and msg.opcode == 8:   # ISP TEL_INT_DIAL_REQ
+        digit_count = to_int(b0, 8, 16)
+        msg.fields = {
+            "digit_count": digit_count,
+            "service_options": to_int(b0, 16, 24),
+            "digits": [to_int(b0, 24 + 4 * i, 28 + 4 * i)
+                       for i in range(min(digit_count, 18))],
+        }
+    return msg
 
 
 def parse_ambtc(seq: PDUSequence) -> AMBTC | None:

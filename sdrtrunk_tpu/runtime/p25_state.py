@@ -116,6 +116,10 @@ class P25P1DecoderState:
                     Identifier.site(f["site_id"], "APCO25"))
             self.traffic.check_teardown(now)
             return
+        if h.format == 21:                   # UMBTC: typed, ISP-only
+            from ..protocol.p25p1.ambtc import parse_umbtc
+            parse_umbtc(seq)
+            return
         if not seq.complete:
             return
         packed = assemble_packet(seq)

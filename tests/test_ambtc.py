@@ -83,3 +83,26 @@ def test_isp_ambtc_is_header_only():
     m = parse_ambtc(seq)
     assert m.name == "CALL_ALRT_REQ" and m.address == 0xABC
     assert m.fields == {}
+
+
+def test_parse_umbtc_dial_request():
+    """UMBTC (format 21) telephone interconnect explicit dial request:
+    opcode in block 0 bits [2:8), digits as 4-bit nibbles
+    (PDUMessageFactory.createUMBTC:294-311)."""
+    from sdrtrunk_tpu.protocol.p25p1.ambtc import parse_umbtc
+
+    hdr_air = pdu_encode_header(format=21, sap=61, llid=0x42,
+                                blocks_to_follow=1, outbound=False)
+    header = pdu_decode_header(hdr_air)
+    b = np.zeros(96, np.uint8)
+    b[2:8] = from_int(8, 6)          # ISP TELE_INT_DIAL_REQ
+    b[8:16] = from_int(3, 8)         # 3 digits
+    b[24:28] = from_int(9, 4)
+    b[28:32] = from_int(1, 4)
+    b[32:36] = from_int(1, 4)
+    seq = PDUSequence(header=header)
+    seq.blocks.append(pdu_decode_block(pdu_encode_block(b, False),
+                                       confirmed=False))
+    m = parse_umbtc(seq)
+    assert m is not None and m.name == "TELE_INT_DIAL_REQ"
+    assert m.fields["digits"] == [9, 1, 1]
